@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
+  *
+  * One parquet file per table; schemas in FIXTURES.md §2. All queries
+  * receive the scale-factor directory at call time so the same plan runs
+  * at sf0.001 (smoke), sf0.01 (correctness) and sf0.1+ (bench). At
+  * cluster scale these would be partitioned/bucketed tables; reading via
+  * `spark.read.parquet` keeps Catalyst free to push filters and prune
+  * columns into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert (data is generated
+      // at microsecond precision, so the ns→µs truncation is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
