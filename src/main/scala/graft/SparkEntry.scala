@@ -2,12 +2,16 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the union of every module's query map; each key must have
-  * a matching DuckDB `oracleSql` entry unless the op is not
-  * SQL-expressible (then the driver records a rows-only check).
+  * `queries` is the union of every module's query map; each key has a
+  * matching DuckDB `oracleSql` entry unless the op is not
+  * SQL-expressible (hash/approximation-dependent ops: dd_minhash_lsh,
+  * dd_simhash, ss_ivf_topk → the driver records a rows-only check and
+  * the ScalaTest specs assert their semantics against the exact
+  * variants instead).
   */
 object SparkEntry {
 
@@ -17,10 +21,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine — the core training-data
+  * pipeline surface.
+  *
+  * Scale design: every variant generates candidates through an
+  * *equi-join on a derived key* (fingerprint, shared shingle, LSH band,
+  * SimHash chunk) so the shuffle distributes on high-cardinality keys
+  * and no O(n²) comparison ever materializes; exact similarity is only
+  * computed on the candidate set. That is the shape that survives 100 TB
+  * — brute-force pairing appears nowhere except the tiny
+  * embedding-top-N demo (and there behind a broadcast).
+  */
+object Dedup {
+
+  /** 3-word shingles (distinct) of the whitespace tokenization. */
+  def shingles(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3)))))
+  }
+
+  /** Exact dedup under sorted-distinct-token-set normalization: every
+    * member of a duplicate group mapped to its canonical (min) doc_id.
+    * One shuffle on the 128-bit fingerprint. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
+    val w = Window.partitionBy("fp")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("canonical", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .where(col("group_size") > 1)
+      .select("doc_id", "canonical", "group_size", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs, candidate generation by
+    * shared-shingle equi-join: jaccard = |A∩B| / (|A|+|B|-|A∩B|) where
+    * the intersection size is just the join-group count — no per-pair
+    * array intersection is ever computed. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("shs"))
+      .withColumn("n", size(col("shs")))
+    val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val pairs = s.alias("a").join(s.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    pairs
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup detection (not SQL-expressible → rows-only
+    * driver check; its verified output coincides with ddNgramJaccard on
+    * this corpus, which the ScalaTest spec asserts).
+    *
+    * 32 minhashes (murmur3 with 32 seeds) banded 16×2; candidates from
+    * band-hash equi-join; exact Jaccard verification on candidates only.
+    */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 32
+    val bandsOf = 16 // 16 bands × 2 rows
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("shs"))
+    val sigs = docs.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        k => array_min(transform(col("shs"), s => hash(s, k)))))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bandsOf - 1}),
+             |  j -> hash(element_at(sig, j * 2 + 1),
+             |            element_at(sig, j * 2 + 2)))""".stripMargin))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard over the shingle sets.
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+    withSets
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: frequency-weighted 64-bit simhash over token
+    * xxhash64 values; candidates by 4×16-bit chunk equi-join; verified
+    * by Hamming distance. Rows-only driver check (hash-dependent). */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + if(size(filter(th, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(th),
+          |           shiftleft(1L, b), 0L))""".stripMargin))
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.alias("a").join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup demo: top-40 most similar vector pairs.
+    * Small-side broadcast nested loop is fine at demo scale; the scale
+    * path for this operator is Similarity.ssIvfTopK's bucketed search. */
+  def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(40)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> ddExact _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_lsh"   -> ddMinhashLsh _,
+    "dd_simhash"       -> ddSimhash _,
+    "dd_embed_cosine"  -> ddEmbedCosine _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT doc_id, canonical, group_size, fp FROM (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY fp) AS canonical,
+        |    count(*) OVER (PARTITION BY fp) AS group_size, fp
+        |  FROM (SELECT doc_id,
+        |          md5(array_to_string(list_sort(list_distinct(
+        |            string_split_regex(trim(text),'\s+'))),' ')) AS fp
+        |        FROM documents))
+        |WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |        FROM documents)),
+        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |        any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared/(na+nb-shared), 4) AS jaccard
+        |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, vec_a, vec_b LIMIT 40""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - `ssCosineTopK`: brute-force exact top-k — the correctness baseline.
+  *    Query set is tiny → broadcast; candidates stream through one scan.
+  *  - `ssIvfTopK`: IVF-style bucketed search — the 100 TB path. A small
+  *    deterministic centroid set is broadcast twice (once to assign every
+  *    vector to its nearest centroid partition, once to pick each query's
+  *    probe list); only the probed buckets are scanned, so the work per
+  *    query drops from O(N) to O(N · nprobe / k_centroids) and the
+  *    assignment shuffle distributes on centroid id.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact brute-force cosine top-10 for query vectors vec_id < 5. */
+  def ssCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.where(col("vec_id") >= 5)
+    val scored = cand.join(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF-bucketed ANN: deterministic centroids (vec_id % 100 == 0),
+    * nprobe = 2. Rows-only driver check (approximate by construction);
+    * the ScalaTest spec asserts recall against ssCosineTopK. */
+  def ssIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+    // Assign every vector to its nearest centroid (cosine, ties → min c_id).
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+
+    // Each query probes its nprobe=2 nearest centroids.
+    val q = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("c_cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= 2)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cluster"))
+
+    // Search only the probed buckets.
+    val scored = assigned.where(col("vec_id") >= 5)
+      .join(broadcast(probes), "cluster")
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_cosine_topk" -> ssCosineTopK _,
+    "ss_ivf_topk"    -> ssIvfTopK _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ss_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT q_id, cand_id, cos, rn FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+        |               c.vec_id) AS rn
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * counting, fingerprinting). All pure Column expressions (codegen'd, no
+  * UDFs) so they scale linearly with document count: one parquet scan,
+  * no shuffle, no driver involvement.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace-collapsed, lower-cased normal form. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private val StopEn = Seq("the", "a", "is", "and", "of")
+  private val StopDe = Seq("der", "die", "das", "und", "ist")
+  private val StopFr = Seq("le", "la", "et", "est", "les")
+  private val StopEs = Seq("el", "las", "y", "es", "los")
+
+  private def stopHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, x => x.isin(stop.map(lit): _*)))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks). */
+  def taTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation/stopword ratios, mean word
+    * length, and a bounded composite score.
+    *
+    * All ratios are integer basis points (`(10000·x) div y`): float
+    * rounding of ratios like 9/80·0.3 lands exactly on a decimal .5
+    * where Spark's HALF_UP and DuckDB's rounding disagree — integer
+    * division is engine-independent. */
+  def taQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("len"), toks.as("toks"))
+      .select(col("doc_id"), col("len"),
+        (col("len") - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("n_punct"),
+        stopHits(col("toks"), StopEn).as("n_stop"),
+        size(col("toks")).as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("n_tok_chars"))
+      .select(col("doc_id"), col("len"),
+        expr("(10000 * n_punct) div len").as("punct_bp"),
+        expr("(10000 * n_stop) div n_toks").as("stopword_bp"),
+        expr("(100 * n_tok_chars) div n_toks").as("avg_word_centichars"),
+        (expr("(3000 * n_stop) div n_toks") +
+          lit(35L) * least(col("n_toks"), lit(200)).cast("long"))
+          .as("quality_score_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Language identification: stopword-hit scoring against per-language
+    * lists, deterministic priority tiebreak en > de > fr > es. */
+  def taLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))
+      .select(col("doc_id"), col("labeled_lang"),
+        stopHits(col("toks"), StopEn).as("s_en"),
+        stopHits(col("toks"), StopDe).as("s_de"),
+        stopHits(col("toks"), StopFr).as("s_fr"),
+        stopHits(col("toks"), StopEs).as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: MD5 of the normal form plus the custom
+    * codegen'd polynomial rolling hash (graft.functions.RollingHash). */
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normalized(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(norm.cast("binary")).as("fp_md5"),
+        RollingHash.rolling_hash(norm).as("fp_roll"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens"      -> taTokens _,
+    "ta_quality"     -> taQuality _,
+    "ta_langid"      -> taLangId _,
+    "ta_fingerprint" -> taFingerprint _,
+  )
+
+  private def stopList(s: Seq[String]): String =
+    s.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracles: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text),'\\s+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text,'$BpePattern')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      s"""SELECT doc_id, len,
+         |  CAST((10000 * n_punct) // len AS BIGINT) AS punct_bp,
+         |  CAST((10000 * n_stop) // n_toks AS BIGINT) AS stopword_bp,
+         |  CAST((100 * n_tok_chars) // n_toks AS BIGINT) AS avg_word_centichars,
+         |  CAST((3000 * n_stop) // n_toks + 35 * least(n_toks, 200) AS BIGINT) AS quality_score_bp
+         |FROM (SELECT doc_id, length(text) AS len,
+         |        len(text) - len(regexp_replace(text,'[.,!?;:]','','g')) AS n_punct,
+         |        len(list_filter(toks, x -> x IN ${stopList(StopEn)})) AS n_stop,
+         |        len(toks) AS n_toks,
+         |        CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS n_tok_chars
+         |      FROM (SELECT doc_id, text,
+         |              string_split_regex(trim(text),'\\s+') AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "ta_langid" ->
+      s"""SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |FROM (SELECT doc_id, lang AS labeled_lang,
+         |        len(list_filter(toks, x -> x IN ${stopList(StopEn)})) AS s_en,
+         |        len(list_filter(toks, x -> x IN ${stopList(StopDe)})) AS s_de,
+         |        len(list_filter(toks, x -> x IN ${stopList(StopFr)})) AS s_fr,
+         |        len(list_filter(toks, x -> x IN ${stopList(StopEs)})) AS s_es
+         |      FROM (SELECT doc_id, lang,
+         |              string_split_regex(trim(lower(text)),'\\s+') AS toks
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id, md5(norm) AS fp_md5,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(norm,''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |    (a, b) -> (a*131 + b) % 1000000007) AS fp_roll
+        |FROM (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)),'\\s+',' ','g') AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

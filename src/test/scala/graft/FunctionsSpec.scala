@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Specs for the beyond-reference operator suite: the approximate
+  * variants are asserted against their exact counterparts (the exact
+  * ones are covered by the DuckDB oracle gate). */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.functions._
+
+  test("rolling_hash matches a reference implementation and handles null") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+    val df = Seq("", "a", "hello world", "ü-umlaut").toDF("s")
+      .select(RollingHash.rolling_hash($"s").as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq("", "a", "hello world", "ü-umlaut").map(ref))
+    val withNull = Seq[Option[String]](Some("x"), None).toDF("s")
+      .select(RollingHash.rolling_hash($"s").as("h"))
+    assert(withNull.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(ref("x")), None))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.ddMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // LSH verification filters candidates by the same exact jaccard, so
+    // lsh ⊆ exact always; recall should be total at j ≥ 0.5 with 16×2 bands.
+    assert(lsh == exact, s"LSH recall gap: missing ${exact -- lsh}")
+  }
+
+  test("simhash near-dup pairs cover the high-jaccard pairs") {
+    val exact = Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.ddSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.75, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val exact = Similarity.ssCosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ssIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
+  test("exact dedup groups are symmetric and canonical is the min member") {
+    val rows = Dedup.ddExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (canon, members) =>
+      assert(members.map(_.getLong(0)).min == canon)
+      assert(members.length >= 2)
+    }
+  }
+}
