@@ -16,12 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session settings every graft entry point needs; called once at
+    * session construction (Verify/Bench mains, test sessions) so table
+    * reads stay side-effect free. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read nanos as long and convert (data is generated
+    // at microsecond precision, so the ns→µs truncation is lossless).
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert (data is generated
-      // at microsecond precision, so the ns→µs truncation is lossless).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

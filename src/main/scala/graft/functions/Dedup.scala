@@ -19,13 +19,11 @@ import graft.Tables.t
   */
 object Dedup {
 
-  /** 3-word shingles (distinct) of the whitespace tokenization. */
-  def shingles(c: Column): Column = {
-    val toks = split(trim(c), "\\s+")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3)))))
-  }
+  /** 3-word shingles (distinct) of the whitespace tokenization — native
+    * single-pass expression (see [[ShingleArray]]; the higher-order
+    * `transform(sequence, slice)` formulation re-splits the document per
+    * shingle and was the dominant cost of every shingle-based op). */
+  def shingles(c: Column): Column = ShingleArray.shingles3(c)
 
   /** Exact dedup under sorted-distinct-token-set normalization: every
     * member of a duplicate group mapped to its canonical (min) doc_id.
@@ -71,21 +69,25 @@ object Dedup {
     *
     * 32 minhashes (murmur3 with 32 seeds) banded 16×2; candidates from
     * band-hash equi-join; exact Jaccard verification on candidates only.
-    */
+    *
+    * Shape note: the signature is computed by exploding shingles and
+    * taking 32 `min(hash(sh, k))` aggregates in ONE codegen'd
+    * partial-aggregated groupBy — not by nested higher-order lambdas.
+    * Nested `transform(.., array_min(transform(..)))` stays interpreted
+    * and gets duplicated per band reference by CollapseProject, which
+    * made this operator ~40× slower; explode+agg is also the shape that
+    * scales (map-side combine, one shuffle on doc_id). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 32
     val bandsOf = 16 // 16 bands × 2 rows
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
-    val sigs = docs.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        k => array_min(transform(col("shs"), s => hash(s, k)))))
+    val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val minCols = (0 until numHashes).map(k => min(hash(col("sh"), lit(k))).as(s"m$k"))
+    val sigs = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bandsOf).map(j => hash(col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
     val bands = sigs.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${bandsOf - 1}),
-             |  j -> hash(element_at(sig, j * 2 + 1),
-             |            element_at(sig, j * 2 + 2)))""".stripMargin))
-          .as(Seq("band_idx", "band_hash")))
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -107,19 +109,31 @@ object Dedup {
 
   /** SimHash near-dup: frequency-weighted 64-bit simhash over token
     * xxhash64 values; candidates by 4×16-bit chunk equi-join; verified
-    * by Hamming distance. Rows-only driver check (hash-dependent). */
+    * by Hamming distance. Rows-only driver check (hash-dependent).
+    *
+    * Shape note: bit-majority is computed by exploding tokens and taking
+    * 64 `sum(±1)` aggregates in one codegen'd groupBy (bit b of the
+    * simhash is set iff more than half the token hashes have bit b set,
+    * i.e. iff the signed sum is > 0) — not by a 64-step interpreted
+    * `aggregate(sequence(0,63), filter(...))` pass per document. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + if(size(filter(th, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(th),
-          |           shiftleft(1L, b), 0L))""".stripMargin))
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val docs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val chunkCols = (0 until 4).map(j =>
+      shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
     val chunks = docs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), j -> shiftright(simhash, j * 16) & 65535)"))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
     chunks.alias("a").join(chunks.alias("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&
@@ -137,11 +151,10 @@ object Dedup {
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
     e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 4)
+        round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(40)

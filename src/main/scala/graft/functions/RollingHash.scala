@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash over a string's UTF-8 bytes:
@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * any engine with 64-bit integers (the DuckDB oracle replicates it with
   * `list_reduce` over `unicode()` codes, identical for ASCII corpora).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.ADT] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
@@ -59,8 +61,17 @@ object RollingHash {
   def rolling_hash(c: Column): Column =
     GraftBridge.column(RollingHash(GraftBridge.expression(c)))
 
-  /** Register as a SQL function (`SELECT rolling_hash(text) ...`). */
+  /** Register as a SQL function (`SELECT rolling_hash(text) ...`).
+    * Arity and input type are checked at analysis time (ExpectsInputTypes
+    * covers the type; the builder rejects wrong arity). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash",
+      exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"rolling_hash expects exactly 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      },
+      "built-in")
 }

@@ -21,11 +21,11 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+  // Codegen'd primitives (graft.functions.DotF64) — identical fp
+  // summation order to the aggregate/zip_with formulation they replace.
+  private def norm(v: Column): Column = VectorOps.l2norm(v)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
 
   /** Exact brute-force cosine top-10 for query vectors vec_id < 5. */
   def ssCosineTopK(spark: SparkSession, dir: String): DataFrame = {

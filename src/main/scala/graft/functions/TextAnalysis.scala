@@ -147,7 +147,7 @@ object TextAnalysis {
         |    list_transform(string_split(norm,''), ch -> CAST(unicode(ch) AS BIGINT))),
         |    (a, b) -> (a*131 + b) % 1000000007) AS fp_roll
         |FROM (SELECT doc_id,
-        |        regexp_replace(lower(trim(text)),'\\s+',' ','g') AS norm
+        |        regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
   )

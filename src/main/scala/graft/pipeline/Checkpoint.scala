@@ -31,15 +31,14 @@ class CheckpointStore(root: String, conf: Configuration = new Configuration())
     val dir = stageDir(pipeline, processingId, blockSlug)
     val f = fs(dir)
     f.mkdirs(dir)
+    // One listing up front (listStatus per row is O(rows × files) RPCs on
+    // object stores); map index → existing files so regeneration can
+    // replace output_<idx>.* even when the extension changes.
+    val existing: Map[String, Seq[Path]] = f.listStatus(dir).toSeq
+      .map(_.getPath)
+      .groupBy(p => p.getName.takeWhile(_ != '.'))
     rows.foreach { case (idx, bytes) =>
-      // Remove any previous output_<idx>.* (extension may change).
-      if (f.exists(dir)) {
-        f.listStatus(dir).foreach { st =>
-          val n = st.getPath.getName
-          if (n == s"output_$idx" || n.startsWith(s"output_$idx."))
-            f.delete(st.getPath, false)
-        }
-      }
+      existing.getOrElse(s"output_$idx", Nil).foreach(f.delete(_, false))
       val ext = Mime.extensionOf(bytes)
       val p = new Path(dir, s"output_$idx$ext")
       val out = f.create(p, true)
@@ -128,9 +127,14 @@ object Mime {
     else ".txt"
   }
 
+  /** Cheap brace/bracket heuristic (first and last non-whitespace byte)
+    * — extension inference must not parse multi-MB payloads with
+    * Jackson just to pick ".json" vs ".txt". */
   private def looksJson(b: Array[Byte]): Boolean = {
-    val s = new String(b.take(64), "UTF-8").trim
-    (s.startsWith("{") || s.startsWith("[")) &&
-      Json.tryParse(new String(b, "UTF-8")).isDefined
+    var i = 0
+    while (i < b.length && Character.isWhitespace(b(i))) i += 1
+    var j = b.length - 1
+    while (j > i && Character.isWhitespace(b(j))) j -= 1
+    i <= j && ((b(i) == '{' && b(j) == '}') || (b(i) == '[' && b(j) == ']'))
   }
 }

@@ -54,7 +54,12 @@ object PipelineSpec {
     }
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     blocks.foreach { case Left(es) => errs ++= es; case _ => }
-    val parsed = blocks.collect { case Right(b) => b }
+    // Keep each block's DOCUMENT position: when an earlier block fails to
+    // parse, positions in the compacted list would shift and let a
+    // later-block origin slip past the must-precede check.
+    val parsedAt = blocks.zipWithIndex.collect { case (Right(b), i) => (b, i) }
+    val parsed = parsedAt.map(_._1)
+    val docPos = parsedAt.map { case (b, i) => b.slug -> i }.toMap
 
     val spec = PipelineSpec(str(root, "slug"), str(root, "title"),
       str(root, "description"), parsed)
@@ -62,14 +67,17 @@ object PipelineSpec {
     if (spec.slug.isEmpty) errs += "pipeline slug is required"
     val dup = parsed.groupBy(_.slug).collect { case (s, bs) if bs.size > 1 => s }
     dup.foreach(s => errs += s"duplicate block slug '$s'")
-    parsed.zipWithIndex.foreach { case (b, i) =>
+    parsedAt.foreach { case (b, i) =>
       if (!knownBlockIds.contains(b.id)) errs += s"unknown block id '${b.id}'"
       if (b.description.length < 20)
         errs += s"block '${b.slug}': description must be at least 20 chars"
       b.inputConfig.foreach(_.property.foreach { case (prop, w) =>
-        val j = parsed.indexWhere(_.slug == w.origin)
-        if (j < 0) errs += s"block '${b.slug}' property '$prop': unknown origin '${w.origin}'"
-        else if (j >= i) errs += s"block '${b.slug}' property '$prop': origin '${w.origin}' must precede it"
+        docPos.get(w.origin) match {
+          case None => errs += s"block '${b.slug}' property '$prop': unknown origin '${w.origin}'"
+          case Some(j) if j >= i =>
+            errs += s"block '${b.slug}' property '$prop': origin '${w.origin}' must precede it"
+          case _ =>
+        }
       })
     }
     if (errs.nonEmpty) Left(errs.toSeq) else Right(spec)

@@ -7,4 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is private[sql]; alias it so graft expressions
+    * can declare `ExpectsInputTypes.inputTypes`. */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
 }
