@@ -1,0 +1,196 @@
+package graft.pipeline
+
+/** External-service client traits + deterministic mocks.
+  *
+  * The reference talks to OpenAI (chat/TTS/whisper/DALL-E) and Telegram
+  * (moderation buttons); its tests inject httptest mock servers
+  * (test/functional/pipeline_test.go:367-416). We mirror that with
+  * injectable traits: production impls would wrap real HTTP APIs;
+  * the mocks are deterministic and used by every test — no network
+  * call ever happens in-tree (SURVEY §5.3).
+  */
+object Clients {
+
+  // ------------------------------------------------------------- LLM
+  /** OpenAI-shaped media/LLM surface (blocks #2-5). */
+  trait LLMClient extends Serializable {
+    def available: Boolean
+    /** chat completion → assistant message content
+      * (block_openai_chat_completion.go:58-117). */
+    def chat(model: String, systemPrompt: String, userPrompt: String,
+        responseFormat: String): Either[String, String]
+    /** text → speech audio bytes (block_openai_tts_request.go:33-76). */
+    def tts(text: String, model: String, voice: String, format: String,
+        speed: Double): Either[String, Array[Byte]]
+    /** audio → whisper verbose_json transcription
+      * (block_openai_transcription_request.go:34-83). */
+    def transcribe(audio: Array[Byte], model: String, language: String,
+        format: String): Either[String, String]
+    /** prompt → image bytes (block_openai_image_request.go:34-78). */
+    def imageGen(prompt: String, quality: String,
+        size: String): Either[String, Array[Byte]]
+  }
+
+  /** Deterministic mock: canned responses, overridable per test. */
+  class MockLLMClient(
+      var chatResponse: String = """{"title": "mock title", "text": "mock text"}""",
+      var transcription: String = MockLLMClient.defaultTranscription,
+      var availableFlag: Boolean = true) extends LLMClient {
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def available: Boolean = availableFlag
+    override def chat(model: String, sys: String, user: String, fmt: String) = {
+      calls.add(s"chat:$model"); Right(chatResponse)
+    }
+    override def tts(text: String, model: String, voice: String, fmt: String, speed: Double) = {
+      calls.add(s"tts:$voice")
+      Right(MockLLMClient.mp3Bytes(s"audio-of:$text"))
+    }
+    override def transcribe(audio: Array[Byte], model: String, lang: String, fmt: String) = {
+      calls.add("transcribe"); Right(transcription)
+    }
+    override def imageGen(prompt: String, quality: String, size: String) = {
+      calls.add(s"image:$size"); Right(MockLLMClient.pngBytes(prompt))
+    }
+  }
+
+  object MockLLMClient {
+    /** Whisper verbose_json with 2 segments — the canonical fixture
+      * shape (reference test/unit/main_test.go:561-594). */
+    val defaultTranscription: String =
+      """{"task":"transcribe","language":"english","duration":4.0,
+        |"text":"Hello world. Goodbye world.",
+        |"segments":[
+        |  {"id":0,"start":0.0,"end":2.0,"text":" Hello world."},
+        |  {"id":1,"start":2.0,"end":4.0,"text":" Goodbye world."}
+        |]}""".stripMargin
+
+    /** A tiny valid 1×1 PNG (deterministic; decodes with ImageIO). */
+    def pngBytes(seed: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = seed.hashCode
+      (0 until 8).foreach(x => (0 until 8).foreach(y => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic fake mp3 (ID3 magic + payload) — media decode is
+      * stubbed; the Spark-side plumbing is what's under test. */
+    def mp3Bytes(payload: String): Array[Byte] =
+      "ID3".getBytes("UTF-8") ++ payload.getBytes("UTF-8")
+  }
+
+  // ------------------------------------------------------ moderation
+  /** One approve/decline/regenerate button press, as parsed back from
+    * the review message (block_send_moderation_telegram.go:56-99). */
+  case class ModerationUpdate(
+      action: String, // approve | decline | regenerate | unknown
+      index: Int,
+      processingId: String,
+      blockSlug: String,
+      regenerateBlockSlug: String = "")
+
+  /** Telegram-shaped moderation surface (blocks #23-25). */
+  trait ModerationClient extends Serializable {
+    def available: Boolean
+    /** Send review message with buttons; returns sent-message JSON. */
+    def sendReview(text: String, image: Option[Array[Byte]], groupId: Long,
+        processingId: String, blockSlug: String, index: Int,
+        regenerateBlockSlug: String,
+        extraDecisions: Map[String, String]): Either[String, String]
+    /** One GetUpdates poll batch (block_fetch_moderation_telegram.go:
+      * 129-215): all OUTSTANDING updates. The fetch block acknowledges
+      * the ones addressed to it via [[ack]]; unmatched updates stay
+      * deliverable for other rows/stages (the reference's
+      * acknowledgedCallbacks map, :23-75). */
+    def fetchUpdates(): Seq[ModerationUpdate]
+    /** Acknowledge consumed updates (no re-delivery). */
+    def ack(consumed: Seq[ModerationUpdate]): Unit
+    /** Final text/image/video message (block_send_message_telegram.go:
+      * 52-143); returns sent-message JSON. */
+    def sendMessage(text: String, image: Option[Array[Byte]],
+        video: Option[Array[Byte]], groupId: Long,
+        caption: String): Either[String, String]
+  }
+
+  /** Mock with a programmable update queue: tests enqueue decisions,
+    * the fetch block drains them (mirrors the reference's channel-
+    * instrumented mock Telegram server). */
+  class MockModerationClient(var availableFlag: Boolean = true)
+      extends ModerationClient {
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val updates =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[ModerationUpdate]())
+
+    def enqueue(u: ModerationUpdate): Unit = updates.add(u)
+
+    override def available: Boolean = availableFlag
+    override def sendReview(text: String, image: Option[Array[Byte]],
+        groupId: Long, processingId: String, blockSlug: String, index: Int,
+        regenerateBlockSlug: String, extraDecisions: Map[String, String]) = {
+      sent.add(s"review:$blockSlug:$index")
+      Right(s"""{"message_id":${sent.size},"chat_id":$groupId,""" +
+        s""""processing_id":"$processingId","block_slug":"$blockSlug","index":$index}""")
+    }
+    override def fetchUpdates(): Seq[ModerationUpdate] =
+      updates.synchronized {
+        scala.jdk.CollectionConverters.ListHasAsScala(updates).asScala.toSeq
+      }
+    override def ack(consumed: Seq[ModerationUpdate]): Unit =
+      updates.synchronized { consumed.foreach(updates.remove) }
+    override def sendMessage(text: String, image: Option[Array[Byte]],
+        video: Option[Array[Byte]], groupId: Long, caption: String) = {
+      val kind =
+        if (image.isDefined) "photo" else if (video.isDefined) "video" else "text"
+      sent.add(s"message:$kind")
+      Right(s"""{"message_id":${sent.size},"chat_id":$groupId,"kind":"$kind"}""")
+    }
+  }
+
+  // ------------------------------------------------------------ http
+  /** Plain HTTP fetch (block #1: block_http.go:60-121 — only url +
+    * method are consumed; non-200 is an error; 30 s timeout). */
+  trait HttpClient extends Serializable {
+    def available(url: String): Boolean
+    def request(url: String, method: String): Either[String, Array[Byte]]
+  }
+
+  /** Real impl over java.net.http (JDK 17) — used in tests against an
+    * in-process com.sun.net.httpserver, mirroring httptest. */
+  class JdkHttpClient(timeoutMs: Long = 30000) extends HttpClient {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+    override def available(url: String): Boolean =
+      try { request(url, "GET").isRight } catch { case _: Exception => false }
+
+    override def request(url: String, method: String): Either[String, Array[Byte]] =
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .method(method.toUpperCase,
+            java.net.http.HttpRequest.BodyPublishers.noBody())
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() == 200) Right(resp.body())
+        else Left(s"HTTP ${resp.statusCode()} for $method $url")
+      } catch { case e: Exception => Left(e.getMessage) }
+  }
+
+  /** Mock http client with a canned url→body map. */
+  class MockHttpClient(responses: Map[String, Array[Byte]] = Map.empty)
+      extends HttpClient {
+    override def available(url: String): Boolean = responses.contains(url)
+    override def request(url: String, method: String): Either[String, Array[Byte]] =
+      responses.get(url).toRight(s"HTTP 404 for $method $url")
+  }
+
+  /** Default all-mock context for tests and offline runs. */
+  def mockCtx(): BlockCtx = BlockCtx(
+    llm = new MockLLMClient(),
+    moderation = new MockModerationClient(),
+    http = new MockHttpClient())
+}
