@@ -37,9 +37,14 @@ object Clients {
       var transcription: String = MockLLMClient.defaultTranscription,
       var availableFlag: Boolean = true) extends LLMClient {
     val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    /** Optional input-dependent responder — fan-out tests need distinct
+      * responses per prompt (identical consecutive values collapse in
+      * MergeMaps, a reference quirk we replicate). */
+    var chatResponder: Option[(String, String) => String] = None
     override def available: Boolean = availableFlag
     override def chat(model: String, sys: String, user: String, fmt: String) = {
-      calls.add(s"chat:$model"); Right(chatResponse)
+      calls.add(s"chat:$model")
+      Right(chatResponder.map(f => f(sys, user)).getOrElse(chatResponse))
     }
     override def tts(text: String, model: String, voice: String, fmt: String, speed: Double) = {
       calls.add(s"tts:$voice")

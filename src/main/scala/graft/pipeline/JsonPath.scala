@@ -52,6 +52,11 @@ object JsonPath {
       val next = vs.flatMap { v =>
         (t, v) match {
           case (Field(n), PObj(m)) => m.get(n).toSeq
+          // Field access maps over arrays (oliveagle/jsonpath get_key
+          // collects the key from every element) — how `array_input` +
+          // `$.text` projects a field out of each buffered JSON.
+          case (Field(n), PArr(a)) =>
+            a.flatMap { case PObj(m) => m.get(n).toSeq; case _ => Nil }
           case (Index(i), PArr(a)) => if (i >= 0 && i < a.size) Seq(a(i)) else Nil
           case (Star, PArr(a))     => a
           case _                   => Nil

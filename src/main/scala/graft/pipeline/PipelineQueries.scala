@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.Tables.t
+import graft.pipeline.blocks.TextBlocks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries that put the pipeline BLOCK semantics under the
+  * DuckDB hash-compare: the exact `outputColumn` expressions the Runner
+  * executes (text_replace/wrap_text — reference blocks #17/#18) and the
+  * JsonPathExtract Catalyst expression behind E2 wiring, applied
+  * corpus-wide. One parquet scan, zero shuffles, fully codegen'd — at
+  * 100 TB these are embarrassingly parallel map stages. */
+object PipelineQueries {
+
+  /** Blocks #17+#18 composed over every document: wrap_text(prefix/
+    * suffix) of text_replace(text, "data", "[data]"). */
+  def plTextOps(spark: SparkSession, dir: String): DataFrame = {
+    val in: Map[String, Column] = Map(
+      "text" -> col("text"), "old" -> lit("data"), "new" -> lit("data"),
+      "prefix" -> lit("["), "suffix" -> lit("]"))
+    val replaced = TextBlocks.TextReplace.outputColumn(in)
+    val wrapped = TextBlocks.WrapText.outputColumn(Map(
+      "text" -> replaced, "prefix" -> lit("<<"), "suffix" -> lit(">>")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), wrapped.as("rendered"))
+      .withColumn("n_marks",
+        size(split(col("rendered"), "\\[data\\]", -1)) - 1)
+      .orderBy("doc_id")
+  }
+
+  /** E2 wiring over `events.props`: the JsonPathExtract expression
+    * (scalar path) against DuckDB's JSON extraction. */
+  def plJsonPath(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        element_at(
+          JsonPathExtract.json_path_extract(col("props"), "$.k"), 1)
+          .cast("long").as("k"))
+      .where(col("k") % 7 === 0)
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_text_ops" -> plTextOps _,
+    "pl_jsonpath" -> plJsonPath _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // ltrim(x, ' ') == TrimLeft; replace == ReplaceAll; the wrap is
+    // plain concat — byte-identical to the block semantics.
+    "pl_text_ops" ->
+      """SELECT doc_id,
+        |  '<<' || replace(ltrim(text, ' '), 'data', '[data]') || '>>' AS rendered,
+        |  len(string_split(
+        |    '<<' || replace(ltrim(text, ' '), 'data', '[data]') || '>>',
+        |    '[data]')) - 1 AS n_marks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pl_jsonpath" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+  )
+}

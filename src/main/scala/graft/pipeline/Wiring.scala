@@ -126,11 +126,11 @@ object Wiring {
                     if (matches.isEmpty)
                       return Left(s"json path '$path' not found in output of '${w.origin}'")
                     // The reference's jsonpath returns a slice for `[*]`
-                    // paths and the raw value otherwise; in fan-out mode
-                    // a slice value becomes one input row per element
-                    // (block.go:348-365).
+                    // paths and for field-access over an array root; in
+                    // fan-out mode a slice value becomes one input row
+                    // per element (block.go:348-365).
                     val lookedUp: PValue =
-                      if (isStarPath(path)) PArr(matches)
+                      if (isStarPath(path) || matches.sizeIs > 1) PArr(matches)
                       else matches.head
                     lookedUp match {
                       case PArr(elems) if ic.isArray =>
