@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import scala.concurrent.ExecutionContext
+
+/** Minimal HTTP facade over the engine — the reference's API surface
+  * (api/server.go:261-303; handlers api/handlers/pipelines.go):
+  *
+  *   GET  /health
+  *   GET  /blocks
+  *   GET  /pipelines                       (registry listing)
+  *   GET  /pipelines/{slug}
+  *   GET  /pipelines/{slug}/processings    (status scan, §3.3)
+  *   POST /pipelines/{slug}/start          (async; returns processing_id)
+  *   POST /pipelines/{slug}/resume         (processing_id + block slug)
+  *
+  * Start/resume return immediately with the processing id while the run
+  * executes in a Future — the reference's goroutine boundary (§3.1
+  * step 4). JSON body: {"block":{"slug":"...","input":{...},
+  * "target_index":N}, "pipeline":{"processing_id":"..."}}.
+  */
+class PipelineService(
+    specs: Seq[PipelineSpec],
+    conf: Runner.RunConfig)(implicit ec: ExecutionContext) {
+
+  private val bySlug = specs.map(s => s.slug -> s).toMap
+  private var server: Option[HttpServer] = None
+
+  def start(port: Int = 0): Int = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/", (ex: HttpExchange) => handle(ex))
+    srv.setExecutor(null)
+    srv.start()
+    server = Some(srv)
+    srv.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+
+  // ------------------------------------------------------------------
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    try {
+      (method, path.split("/").drop(1).toList) match {
+        case ("GET", List("health")) =>
+          respond(ex, 200, """{"status":"ok"}""")
+        case ("GET", List("blocks")) =>
+          val blocks = conf.registry.byId.values.toSeq.sortBy(_.id).map(op =>
+            PObj(Map("id" -> PStr(op.id), "description" -> PStr(op.description),
+              "available" -> PBool(op.available(conf.ctx)))))
+          respond(ex, 200, Json.render(PArr(blocks)))
+        case ("GET", List("pipelines")) =>
+          respond(ex, 200, Json.render(PArr(specs.map(describe))))
+        case ("GET", List("pipelines", slug)) =>
+          bySlug.get(slug) match {
+            case Some(s) => respond(ex, 200, Json.render(describe(s)))
+            case None    => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
+          }
+        case ("GET", List("pipelines", slug, "processings")) =>
+          bySlug.get(slug) match {
+            case Some(s) =>
+              val items = Runner.listProcessings(s, conf).map { case (pid, status) =>
+                PObj(Map("processing_id" -> PStr(pid),
+                  "status" -> status.getOrElse(PNull)))
+              }
+              respond(ex, 200, Json.render(PArr(items)))
+            case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
+          }
+        case ("POST", List("pipelines", slug, action)) if action == "start" || action == "resume" =>
+          bySlug.get(slug) match {
+            case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
+            case Some(spec) =>
+              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              val parsed = if (body.trim.isEmpty) PObj(Map.empty) else Json.parse(body)
+              val block = field(parsed, "block")
+              val pipeline = field(parsed, "pipeline")
+              val blockSlug = strField(block, "slug")
+              val input = field(block, "input") match {
+                case PObj(m) => m
+                case _       => Map.empty[String, PValue]
+              }
+              val targetIndex = field(block, "target_index") match {
+                case PInt(i) => i.toInt
+                case _       => -1
+              }
+              val pid = strField(pipeline, "processing_id") match {
+                case "" if action == "resume" =>
+                  respond(ex, 400, """{"error":"resume requires pipeline.processing_id"}""")
+                  return
+                case "" => Runner.newProcessingId()
+                case p  => p
+              }
+              if (action == "resume" && blockSlug.isEmpty) {
+                respond(ex, 400, """{"error":"resume requires block.slug"}""")
+                return
+              }
+              // async boundary: return the id, run in a Future
+              scala.concurrent.Future {
+                Runner.process(spec,
+                  Runner.StartInput(blockSlug, input, targetIndex), conf, pid)
+              }
+              respond(ex, 200, s"""{"processing_id":"$pid"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, Json.render(PObj(Map("error" -> PStr(String.valueOf(e.getMessage))))))
+    }
+  }
+
+  private def describe(s: PipelineSpec): PObj = PObj(Map(
+    "slug" -> PStr(s.slug), "title" -> PStr(s.title),
+    "description" -> PStr(s.description),
+    "blocks" -> PArr(s.blocks.map(b =>
+      PObj(Map("id" -> PStr(b.id), "slug" -> PStr(b.slug)))))))
+
+  private def field(v: PValue, name: String): PValue = v match {
+    case PObj(m) => m.getOrElse(name, PNull)
+    case _       => PNull
+  }
+  private def strField(v: PValue, name: String): String = field(v, name) match {
+    case PNull  => ""
+    case other  => other.asString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+}

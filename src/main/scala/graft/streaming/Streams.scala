@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no true streams (its closest construct is the
+  * bounded Telegram long-poll, SURVEY §1.1), so this is the
+  * beyond-reference streaming path: the same aggregations the batch
+  * gate verifies (q11 hourly rollups, q12 sessionization), expressed as
+  * incremental plans. Each transform takes ANY events DataFrame —
+  * batch or streaming — so correctness is assertable against the batch
+  * result on the same rows (tests do exactly that via MemoryStream).
+  *
+  * Scale notes: the windowed aggregate is a streaming partial-agg with
+  * watermark-bounded state (no unbounded keys held); sessionization
+  * holds one small state object per active user and emits on gap
+  * timeout — both shapes survive a 1000-executor deployment because
+  * state is keyed and pruned, never collected to the driver.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Hourly tumbling-window counts/sums per event type with a 10-minute
+    * watermark — the streaming q11. On a batch frame the same plan
+    * computes the identical grouped aggregate. */
+  def hourlyByType(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) per user via
+    * flatMapGroupsWithState — the streaming q12. Emits a session when
+    * the processing-time gap since the watermark passes; in batch tests
+    * the state path is exercised through MemoryStream feeds. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def flush(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => flush(userId, s)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  emitted ::= flush(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+
+  /** Read the parquet events table as a bounded file STREAM (one file
+    * per trigger) — how the same pipeline runs incrementally over an
+    * arriving directory at scale. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

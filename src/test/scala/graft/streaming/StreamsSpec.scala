@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming transforms asserted against the BATCH result over the
+  * same rows — the incremental plan must agree with the one the DuckDB
+  * gate verifies. */
+class StreamsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val rows = Seq(
+    Streams.Event(0, ts(5), 1, "click", 1.0),
+    Streams.Event(1, ts(20), 1, "click", 2.0),
+    Streams.Event(2, ts(70), 1, "view", 4.0),   // >30m gap → new session
+    Streams.Event(3, ts(75), 2, "click", 8.0),
+    Streams.Event(4, ts(130), 2, "click", 16.0) // >30m gap → new session
+  )
+
+  test("hourlyByType streaming result equals the batch aggregate") {
+    val mem = MemoryStream[Streams.Event](spark)
+    val q = Streams.hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("hourly")
+        .orderBy("hour_start", "event_type").collect().toSeq
+      val batch = Streams.hourlyByType(rows.toDF())
+        .orderBy("hour_start", "event_type").collect().toSeq
+      assert(streaming == batch)
+      assert(batch.map(_.getLong(2)).sum == rows.size)
+    } finally q.stop()
+  }
+
+  test("sessionize emits gap-separated sessions with correct aggregates") {
+    val mem = MemoryStream[Streams.Event](spark)
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session gap so all state
+      // times out and flushes
+      mem.addData(Streams.Event(99, ts(10000), 9, "tick", 0.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(100, ts(20000), 9, "tick", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions")
+        .orderBy("user_id", "session_start")
+        .as[Streams.SessionOut].collect().toSeq
+        .filter(_.user_id != 9)
+      assert(out.map(s => (s.user_id, s.n_events, s.sum_value)) == Seq(
+        (1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0), (2L, 1, 16.0)))
+      assert(out.head.session_start == ts(5) && out.head.session_end == ts(20))
+    } finally q.stop()
+  }
+
+  test("event file stream over the testdata directory aggregates incrementally") {
+    // Copy the parquet file into a streaming source dir (bounded file
+    // stream, one file per trigger).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Streams.eventFileStream(spark, dir.toString)
+    val q = Streams.hourlyByType(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("file_hourly").agg(sum("n_events")).collect()(0).getLong(0)
+      val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+      assert(total == expected)
+    } finally q.stop()
+  }
+}
