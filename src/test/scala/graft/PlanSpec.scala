@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-guard assertions over the PHYSICAL plans — the properties
+  * that make these queries survive a 100 TB / 1000-executor deployment
+  * must be visible in `explain`, not assumed: filters reach the
+  * parquet scan, unused columns are pruned, small dimensions broadcast,
+  * top-k avoids global sorts, and the hot paths stay inside
+  * whole-stage codegen. A regression here is a performance bug even
+  * while every correctness gate stays green. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: tight filters are pushed down to the parquet scan") {
+    val plan = planOf(Relational.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_discount") ||
+      plan.contains("LessThan(l_quantity"), plan.take(2000))
+  }
+
+  test("q1: scan reads only the six needed lineitem columns") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      .foreach(c => assert(readSchema.contains(c), readSchema))
+    // pruned: the fact key and dates are not needed by q1
+    Seq("l_orderkey", "l_shipdate").foreach(c =>
+      assert(!readSchema.contains(c), s"unpruned column $c in: $readSchema"))
+  }
+
+  test("q2: tiny dimensions join via broadcast, not shuffle") {
+    val plan = planOf(Relational.q2RevenueByNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q3: top-10 uses TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.q3TopOrders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q4: EXISTS compiles to a semi join") {
+    val plan = planOf(Relational.q4PriorityExists(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen with partial aggregation") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect() // AQE: codegen stages appear only in the FINAL plan
+    val plan = planOf(df)
+    assert(plan.contains("*("), plan.take(3000)) // WholeStageCodegen stage marker
+    // partial (map-side) aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("dedup candidate generation shuffles on derived keys, never cross-joins") {
+    val plan = planOf(graft.functions.Dedup.ddNgramJaccard(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+}
