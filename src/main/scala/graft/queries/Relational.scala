@@ -177,7 +177,89 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** As-of join — an operator Spark lacks natively (SURVEY §2.4):
+    * each error event matched to the SAME USER's latest click at or
+    * before it. Implemented with the union-sort-window shape: tag both
+    * streams, one window pass per user carries the last click forward.
+    * ONE shuffle on user_id, no range explosion — this is the form
+    * that scales (a naive ts-inequality join is quadratic per user).
+    * Build-side ties (same user, same µs) are pre-deduped by max
+    * event_id so both engines pick the same row. */
+  def q14AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .select(col("user_id"), col("ts"), col("value"), lit(0).as("is_probe"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = errors.select(col("user_id"), col("ts"),
+        col("event_id"), lit(null).cast("double").as("value"), lit(1).as("is_probe"))
+      .unionByName(clicks.withColumn("event_id", lit(null).cast("long"))
+        .select("user_id", "ts", "event_id", "value", "is_probe"))
+    // clicks sort before errors at equal ts → ASOF's `>=` semantics
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_ts",
+        last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when(col("is_probe") === 0, col("value")), ignoreNulls = true).over(w))
+      .where(col("is_probe") === 1 && col("click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("click_ts"),
+        round(col("click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join — bucketed to stay an equi-join: events following each
+    * error within one hour, same user. Each probe row expands to its
+    * two candidate hour-buckets; the join runs on (user_id, bucket) and
+    * the exact range predicate filters after. No inequality join, no
+    * per-user quadratic blowup — the candidate set is bounded by bucket
+    * occupancy, the shape that survives 100 TB. */
+  def q15RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val bucket = (c: Column) => floor(unix_micros(c) / (3600L * 1000000L))
+    val probes = e.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("b", explode(array(bucket(col("ts")), bucket(col("ts")) + 1)))
+    val cands = e.select(col("user_id"), col("ts").as("ts2"))
+      .withColumn("b", bucket(col("ts2")))
+    probes.join(cands, Seq("user_id", "b"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("ts2") > col("ts") &&
+        col("ts2") <= col("ts") + expr("INTERVAL 1 HOUR"), 1L).otherwise(0L))
+        .as("n_next_hour"))
+      .orderBy("event_id")
+  }
+
+  /** PIVOT: per-user event-type counts as columns (explicit value list
+    * keeps the plan a single pivot aggregate, no extra pass to discover
+    * the domain). */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Exact vs sketch cardinality: exact COUNT(DISTINCT) per event type
+    * (oracle-checked); the HLL++ sketch path is asserted within error
+    * bounds in the ScalaTest suite (approx results are not
+    * hash-comparable by design). */
+  def q17DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_asof_join"        -> q14AsofJoin _,
+    "q15_range_join"       -> q15RangeJoin _,
+    "q16_pivot"            -> q16Pivot _,
+    "q17_distinct_users"   -> q17DistinctUsers _,
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_revenue_by_nation" -> q2RevenueByNation _,
     "q3_top_orders"        -> q3TopOrders _,
@@ -194,6 +276,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q14_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max_by(value, event_id) AS value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, c.ts AS click_ts,
+        |  round(c.value, 2) AS click_value
+        |FROM e ASOF JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q15_range_join" ->
+      """SELECT e.event_id,
+        |  (SELECT count(*) FROM events c
+        |   WHERE c.user_id = e.user_id
+        |     AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR) AS n_next_hour
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
+    "q16_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

@@ -68,6 +68,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("HLL++ sketch cardinality stays within 5% of the exact distinct count") {
+    // q17 gates the EXACT count; the sketch path (approx_count_distinct)
+    // is the 100 TB form — one pass, fixed memory, no distinct shuffle.
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sf, "events")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val approx = e.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"))
+    exact.join(approx, "event_type").collect().foreach { r =>
+      val (ex, ap) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"${r.getString(0)}: $ap vs $ex")
+    }
+  }
+
   test("exact dedup groups are symmetric and canonical is the min member") {
     val rows = Dedup.ddExact(spark, sf).collect()
     assert(rows.nonEmpty)
