@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{DotF64, RollingHash, ShingleArray}
+import graft.pipeline.JsonPathExtract
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Catalyst integration point: injects graft's native expressions as
+  * SQL functions via `SparkSessionExtensions`, so a SQL-only user gets
+  * them like built-ins:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions   (cluster conf), or
+  *   SparkSession.builder.withExtensions(new GraftExtensions)
+  *
+  *   SELECT rolling_hash(text), shingles3(text),
+  *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k')
+  *
+  * All four are native `Expression`s (no UDF serialization boundary);
+  * rolling_hash and dot_f64 carry `doGenCode` and stay inside
+  * whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects exactly $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      arity("rolling_hash", 1)(e => RollingHash(e.head))))
+    ext.injectFunction((new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingles3"),
+      arity("shingles3", 1)(e => ShingleArray(e.head))))
+    ext.injectFunction((new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      arity("dot_f64", 2)(e => DotF64(e(0), e(1)))))
+    ext.injectFunction((new FunctionIdentifier("json_path_extract"),
+      new ExpressionInfo(classOf[JsonPathExtract].getName, "json_path_extract"),
+      arity("json_path_extract", 2)(e => JsonPathExtract(e(0), e(1)))))
+  }
+}
+
+/** Library facade — everything a user of the engine touches:
+  * `Graft.session()` for a configured SparkSession, `registerTables`
+  * for the corpus views, the query registry, and the pipeline engine
+  * re-exported. */
+object Graft {
+
+  /** Session builder with graft extensions + the settings every entry
+    * point needs (nanos handling, extension functions). */
+  def sessionBuilder(): org.apache.spark.sql.SparkSession.Builder =
+    Tables.configure(org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new GraftExtensions))
+
+  /** Register every corpus table as a temp view for SQL access. */
+  def registerTables(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Tables.names.foreach(n =>
+      Tables.t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** All driver-gated queries by name. */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = SparkEntry.queries
+}
