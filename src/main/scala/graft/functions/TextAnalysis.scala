@@ -97,11 +97,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 relevance of every document against a fixed query term set —
+    * the retrieval-scoring primitive of a training-data pipeline
+    * (quality filtering by query relevance, near-dup triage).
+    *
+    * Shape: explode lower-cased tokens → per-(doc, term) counts (one
+    * shuffle with map-side combine) → document frequencies for the
+    * query terms only (tiny, broadcast back) → BM25 sum per doc.
+    * Scores are integer micro-units (round(1e6·x) as BIGINT) so the
+    * DuckDB oracle compares exactly despite float logs. */
+  def taBm25(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("spark", "query", "data")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.count() // corpus-level constants computed once
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // exact long sum / long count → bit-identical double in any engine
+    // (a float avg would accumulate in engine-specific order)
+    val (sumDl, nDl) = {
+      val r = docLen.agg(sum("dl"), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val avgdl = sumDl.toDouble / nDl
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = col("idf") * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(df_.withColumn("idf", idf)), "term")
+      .join(docLen, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(sum(score) * 1e6).cast("long").as("bm25_micro"),
+        count(lit(1)).as("n_matched_terms"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens"      -> taTokens _,
     "ta_quality"     -> taQuality _,
     "ta_langid"      -> taLangId _,
     "ta_fingerprint" -> taFingerprint _,
+    "ta_bm25"        -> taBm25 _,
   )
 
   private def stopList(s: Seq[String]): String =
@@ -141,6 +182,28 @@ object TextAnalysis {
          |              string_split_regex(trim(lower(text)),'\\s+') AS toks
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "ta_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |        unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
+        |      FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |const AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |                 CAST((SELECT sum(dl) FROM dl) AS DOUBLE) /
+        |                   (SELECT count(*) FROM dl) AS avgdl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark','query','data') GROUP BY 1, 2),
+        |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  CAST(round(sum(
+        |    ln((const.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1))
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / const.avgdl))
+        |  ) * 1e6) AS BIGINT) AS bm25_micro,
+        |  count(*) AS n_matched_terms
+        |FROM tf CROSS JOIN const
+        |JOIN idf ON tf.term = idf.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(norm) AS fp_md5,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
