@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-plane pipeline executor: every stage output IS a DataFrame
+  * `(idx INT, value BINARY)` — nothing is ever collected to the driver.
+  *
+  * The control-plane [[Runner]] replicates the reference's execution
+  * model faithfully (driver-resident buffers, moderation, retry,
+  * regeneration — matching `[]*bytes.Buffer` semantics,
+  * pipeline_block_data_registry.go:43). This executor is the 100 TB
+  * form of the SAME spec language: a fan-out of a million rows stays a
+  * Spark stage, JSONPath projection runs as a Catalyst expression,
+  * zip-merge is a join on idx, checkpoints are parquet directories.
+  *
+  * Scope: pure-compute pipelines — ExprBlockOps run as codegen'd
+  * selects, other Distributed blocks via mapPartitions. DriverSide
+  * blocks (external clients, moderation, conditional stop) need the
+  * control-plane Runner and are rejected up front; the spec suite
+  * proves the two executors agree on specs both can run.
+  */
+object BulkRunner {
+
+  case class BulkConfig(
+      spark: SparkSession,
+      registry: BlockRegistry,
+      ctx: BlockCtx,
+      /** Stage-checkpoint root (parquet per stage); None = in-memory
+        * lineage only. */
+      checkpointDir: Option[String] = None)
+
+  /** Run a spec over an initial stage map; returns slug → stage frame. */
+  def run(spec: PipelineSpec, initial: Map[String, DataFrame],
+      conf: BulkConfig): Map[String, DataFrame] = {
+    val unsupported = spec.blocks
+      .map(b => b -> conf.registry(b.id))
+      .filter(_._2.mode == DriverSide)
+    require(unsupported.isEmpty,
+      s"BulkRunner handles pure-compute stages only; driver-side blocks " +
+        s"${unsupported.map(_._1.slug).mkString(", ")} need the control-plane Runner")
+
+    val stages = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    initial.foreach { case (k, v) => stages(k) = normalize(v) }
+
+    spec.blocks.foreach { blockSpec =>
+      val op = conf.registry(blockSpec.id)
+      val ic = blockSpec.inputConfig.getOrElse(InputConfig())
+
+      // E1-E4 at frame level: each wired property becomes (idx, value).
+      val propFrames: Map[String, DataFrame] = ic.property.map { case (name, w) =>
+        val origin = stages.getOrElse(w.origin,
+          throw new NoSuchElementException(s"origin ${w.origin} not materialized"))
+        val resolved = (w.arrayInput, w.jsonPath) match {
+          case (true, None) => Wiring.fanIn(origin)
+          case (true, Some(path)) =>
+            Wiring.fanIn(origin.select(col("idx"),
+              element_at(JsonPathExtract.json_path_extract(
+                col("value").cast("string"), path), 1).as("value")))
+          case (false, Some(path)) if isStar(path) && ic.isArray =>
+            Wiring.jsonPathExplode(origin, path)
+          case (false, Some(path)) =>
+            origin.select(col("idx"),
+              element_at(JsonPathExtract.json_path_extract(
+                col("value").cast("string"), path), 1).as("value"))
+          case (false, None) => origin
+        }
+        name -> resolved
+      }
+
+      val litRow: Map[String, PValue] = blockSpec.input
+      val in: DataFrame =
+        if (propFrames.isEmpty) conf.spark.range(1).select(lit(0).as("idx"))
+        else Wiring.zipByIdx(propFrames)
+
+      def typedCol(name: String): Column = {
+        val present = propFrames.contains(name)
+        val isArr = op.propsByName.get(name).exists(_.typ.isInstanceOf[TArr])
+        // literal > schema default (prepare() applies the same order)
+        val fallback = litRow.get(name)
+          .orElse(op.propsByName.get(name).flatMap(_.default))
+        (present, isArr) match {
+          case (true, true)   => col(name).cast("array<string>")
+          case (false, true)  => lit(null).cast("array<string>")
+          case (true, false)  =>
+            coalesce(col(name).cast("string"), litFor(fallback))
+          case (false, false) => litFor(fallback)
+        }
+      }
+
+      val out = execute(op, blockSpec, in, typedCol, conf)
+      val materialized = conf.checkpointDir match {
+        case Some(root) =>
+          val path = s"$root/${spec.slug}/${blockSpec.slug}"
+          out.write.mode("overwrite").parquet(path)
+          conf.spark.read.parquet(path)
+        case None => out
+      }
+      stages(blockSpec.slug) = materialized
+    }
+    stages.toMap
+  }
+
+  /** Resume: hydrate stage frames from a previous run's parquet
+    * checkpoints (the E12 analogue at data scale). */
+  def load(spark: SparkSession, root: String, pipelineSlug: String,
+      blockSlug: String): DataFrame =
+    spark.read.parquet(s"$root/$pipelineSlug/$blockSlug")
+
+  // ------------------------------------------------------------------
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(col("idx").cast("int").as("idx"), col("value").cast("binary").as("value"))
+
+  private def isStar(path: String): Boolean =
+    try JsonPath.compile(path).contains(JsonPath.Star)
+    catch { case _: Exception => false }
+
+  private def litFor(v: Option[PValue]): Column = v match {
+    case Some(PNull) | None => lit(null).cast("string")
+    case Some(x)            => lit(x.asString)
+  }
+
+  private def execute(op: BlockOp, blockSpec: BlockSpec, in: DataFrame,
+      typedCol: String => Column, conf: BulkConfig): DataFrame = op match {
+    case e: ExprBlockOp =>
+      // one codegen'd select over the whole stage
+      normalize(in.select(col("idx"),
+        e.outputColumn(typedCol).cast("binary").as("value")))
+    case _ =>
+      // generic Distributed block: mapPartitions, rows streamed through
+      // the op (scalar string inputs — array-input blocks in bulk mode
+      // are the ExprBlockOps above)
+      val ctx = conf.ctx
+      val props = op.props.filterNot(_.typ.isInstanceOf[TArr])
+      val propCols = props.map(p => typedCol(p.name).as(p.name))
+      val ds = in.select((col("idx").cast("int").as("idx") +: propCols): _*)
+      import org.apache.spark.sql.Encoders
+      val enc = Encoders.tuple(Encoders.scalaInt, Encoders.BINARY)
+      val slug = blockSpec.slug
+      normalize(ds.mapPartitions { rows =>
+        rows.map { r =>
+          val m = props.zipWithIndex.flatMap { case (p, i) =>
+            Option(r.get(i + 1)).map(v => p.name -> (PStr(v.toString): PValue))
+          }.toMap
+          val prepared = op.prepare(m).fold(
+            e => throw new IllegalArgumentException(s"$slug: $e"), identity)
+          val res = op.process(InputRow(r.getInt(0), prepared), ctx)
+          (r.getInt(0), res.outputs.headOption.getOrElse(Array.empty[Byte]))
+        }
+      }(enc).toDF("idx", "value"))
+  }
+}
