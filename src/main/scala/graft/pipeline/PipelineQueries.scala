@@ -40,9 +40,37 @@ object PipelineQueries {
       .where(col("k") % 7 === 0)
       .orderBy("event_id")
 
+  /** The ENGINE itself under the oracle: a two-block pipeline spec
+    * (wrap_text → text_replace) executed by the data-plane BulkRunner
+    * over the whole documents corpus as the initial stage — spec
+    * parsing, wiring, zip, and the expr execution path all sit inside
+    * the hash-compared result. */
+  def plBulkPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec("pl-bulk", "t",
+      "corpus-wide wrap+replace via the data-plane executor", Seq(
+        BlockSpec("wrap_text", "wrap", "wrap every document text",
+          input = Map("prefix" -> PStr("<"), "suffix" -> PStr(">")),
+          inputConfig = Some(InputConfig(isArray = true,
+            property = Map("text" -> PropertyWiring("src"))))),
+        BlockSpec("text_replace", "mark", "mark the data token",
+          input = Map("old" -> PStr("data"), "new" -> PStr("DATA")),
+          inputConfig = Some(InputConfig(isArray = true,
+            property = Map("text" -> PropertyWiring("wrap")))))))
+    val initial = t(spark, dir, "documents")
+      .select(col("doc_id").cast("int").as("idx"),
+        col("text").cast("binary").as("value"))
+    val out = BulkRunner.run(spec, Map("src" -> initial),
+      BulkRunner.BulkConfig(spark, BlockRegistry.standard(), Clients.mockCtx()))
+    out("mark")
+      .select(col("idx").cast("long").as("doc_id"),
+        col("value").cast("string").as("rendered"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pl_text_ops" -> plTextOps _,
-    "pl_jsonpath" -> plJsonPath _,
+    "pl_text_ops"      -> plTextOps _,
+    "pl_jsonpath"      -> plJsonPath _,
+    "pl_bulk_pipeline" -> plBulkPipeline _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -59,5 +87,12 @@ object PipelineQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
         |ORDER BY event_id""".stripMargin,
+    // wrap_text then text_replace semantics (TrimLeft(' ') on every
+    // part; replace AFTER wrapping, so the wrap markers are part of the
+    // searched text) — byte-equal to the engine's two-stage run.
+    "pl_bulk_pipeline" ->
+      """SELECT doc_id,
+        |  replace('<' || ltrim(text, ' ') || '>', 'data', 'DATA') AS rendered
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
