@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline surface (language ID, quality scoring, token
@@ -110,30 +111,52 @@ object TextAnalysis {
     val queryTerms = Seq("spark", "query", "data")
     val k1 = 1.2
     val b = 0.75
-    val docs = t(spark, dir, "documents")
-    val nDocs = docs.count() // corpus-level constants computed once
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("term"))
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    // ONE scan+shuffle computes doc length AND per-query-term counts;
+    // corpus constants ride along as a broadcast 1-row aggregate — no
+    // driver collect, single declarative DAG.
+    val tfCols = queryTerms.map(qt =>
+      sum(when(col("term") === qt, 1L).otherwise(0L)).as(s"tf_$qt"))
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val stackExpr = s"stack(${queryTerms.size}, " +
+      queryTerms.map(qt => s"'$qt', tf_$qt").mkString(", ") + ") AS (term, tf)"
+    val tf = perDoc.select(col("doc_id"), col("dl"), expr(stackExpr))
+      .where(col("tf") > 0)
     // exact long sum / long count → bit-identical double in any engine
     // (a float avg would accumulate in engine-specific order)
-    val (sumDl, nDl) = {
-      val r = docLen.agg(sum("dl"), count(lit(1))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val avgdl = sumDl.toDouble / nDl
-    val tf = toks.where(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+    val consts = perDoc.agg(sum("dl").as("sumdl"), count(lit(1)).as("ndocs"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sumdl").cast("double") / col("ndocs")
+    val idf = log((col("ndocs").cast("double") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
-    val score = col("idf") * (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    tf.join(broadcast(df_.withColumn("idf", idf)), "term")
-      .join(docLen, "doc_id")
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(consts))
       .groupBy("doc_id")
       .agg(round(sum(score) * 1e6).cast("long").as("bm25_micro"),
         count(lit(1)).as("n_matched_terms"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (512 tokens) in doc_id order WITHIN each source shard — the
+    * training-batch packing step of an LLM data pipeline. Running
+    * cumulative token counts partition by `source`, so packing
+    * parallelizes across shards (a global ordering would funnel
+    * everything through one partition — the non-scalable shape). */
+  def taPack(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        floor((col("cum") - col("n_toks")) / cap).as("bin"))
       .orderBy("doc_id")
   }
 
@@ -143,6 +166,7 @@ object TextAnalysis {
     "ta_langid"      -> taLangId _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_bm25"        -> taBm25 _,
+    "ta_pack"        -> taPack _,
   )
 
   private def stopList(s: Seq[String]): String =
@@ -182,6 +206,16 @@ object TextAnalysis {
          |              string_split_regex(trim(lower(text)),'\\s+') AS toks
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "ta_pack" ->
+      """SELECT doc_id, source, n_toks,
+        |  CAST(floor((cum - n_toks) / 512) AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source, n_toks,
+        |        sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id, source,
+        |              CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_toks
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "ta_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |        unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
