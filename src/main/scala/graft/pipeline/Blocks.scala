@@ -52,6 +52,13 @@ trait BlockOp extends Serializable {
   def retryCount: Int = 0
   def retryIntervalMs: Long = 0L
   def mode: ExecMode = Distributed
+  /** Config gate for fan-out concurrency (`parallel_available` per
+    * block, config/config.yaml — e.g. false for fetch_moderation_tg):
+    * `input_config.parallel` only takes effect when the block allows
+    * it. Meaningful for DriverSide blocks where side-effect order
+    * matters; pure Distributed compute is safely parallel under
+    * Spark's task model regardless. */
+  def parallelAvailable: Boolean = true
   /** Availability detector (block Detector trait); unavailable blocks
     * halt the run (the reference would transfer to a peer — E15,
     * dropped: Spark's scheduler owns placement). */

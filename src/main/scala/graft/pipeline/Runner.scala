@@ -186,8 +186,9 @@ object Runner {
         case _ if op.mode == Distributed =>
           runDistributed(op, prepared.toSeq, conf)
         case _ =>
-          runDriverSide(op, prepared.toSeq, ic.parallel, conf,
-            processingId, blockSpec, ledger)
+          // E7 with the per-block `parallel_available` gate
+          runDriverSide(op, prepared.toSeq, ic.parallel && op.parallelAvailable,
+            conf, processingId, blockSpec, ledger)
       }
 
       // Commit results in idx order: stop/error/regenerate handling +

@@ -171,6 +171,7 @@ object ClientBlocks {
     override val id = "fetch_moderation_tg"
     override val description = "Fetch the moderation decision for this stage"
     override val mode: ExecMode = DriverSide
+    override val parallelAvailable: Boolean = false // config.yaml:180
     override val retryCount: Int = 50
     override val retryIntervalMs: Long = 10000L
     override val props = Seq(

@@ -231,6 +231,40 @@ class BlocksSpec extends AnyFunSuite {
       Ffmpeg.resolve(None).isDefined) // allow machines that do have ffmpeg
   }
 
+  test("http_request fetches over a real socket; non-200 is an error") {
+    // in-process server — the reference's httptest pattern (§5.3)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ok", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = "payload-bytes".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      try ex.getResponseBody.write(body) finally ex.close()
+    })
+    server.createContext("/boom", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val httpCtx = ctx.copy(http = new Clients.JdkHttpClient())
+      val ok = ClientBlocks.HttpRequest.prepare(
+        row("url" -> PStr(s"http://127.0.0.1:$port/ok"))).toOption.get
+      val res = ClientBlocks.HttpRequest.process(InputRow(0, ok), httpCtx)
+      assert(new String(res.outputs.head, "UTF-8") == "payload-bytes")
+      val bad = ClientBlocks.HttpRequest.prepare(
+        row("url" -> PStr(s"http://127.0.0.1:$port/boom"))).toOption.get
+      val e = intercept[RuntimeException](
+        ClientBlocks.HttpRequest.process(InputRow(0, bad), httpCtx))
+      assert(e.getMessage.contains("500"))
+    } finally server.stop(0)
+  }
+
+  test("fetch_moderation_tg is sequential even when the spec asks for parallel") {
+    // parallel_available: false gate (config.yaml:180)
+    assert(!ClientBlocks.FetchModeration.parallelAvailable)
+    assert(ClientBlocks.SendModeration.parallelAvailable)
+  }
+
   test("block registry holds the full 25-operator reference set") {
     val reg = BlockRegistry.standard()
     val expected = Set(
