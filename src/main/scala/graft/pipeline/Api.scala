@@ -68,6 +68,21 @@ class PipelineService(
               respond(ex, 200, Json.render(PArr(items)))
             case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
           }
+        case ("GET", List("pipelines", slug, "processings", pid)) =>
+          // §3.3 details: latest status + the structured run-ledger
+          // (replaces the reference's log-text parse, pipeline.go:700-802)
+          bySlug.get(slug) match {
+            case Some(_) =>
+              val statuses = conf.checkpoint.readDocuments(slug, pid, "status_")
+              val logs = conf.checkpoint.readDocuments(slug, pid, "log_")
+              if (statuses.isEmpty && logs.isEmpty)
+                respond(ex, 404, s"""{"error":"unknown processing '$pid'"}""")
+              else respond(ex, 200, Json.render(PObj(Map(
+                "processing_id" -> PStr(pid),
+                "status" -> statuses.lastOption.map(d => Json.parse(d._2)).getOrElse(PNull),
+                "ledger" -> logs.lastOption.map(d => Json.parse(d._2)).getOrElse(PArr(Nil))))))
+            case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
+          }
         case ("POST", List("pipelines", slug, action)) if action == "start" || action == "resume" =>
           bySlug.get(slug) match {
             case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")

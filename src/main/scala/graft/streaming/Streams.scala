@@ -92,6 +92,21 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same fingerprint
+    * inside the watermark horizon (`dropDuplicatesWithinWatermark`) —
+    * the incremental form of dd_exact. State is keyed by fingerprint
+    * and pruned at the watermark, so memory stays bounded no matter
+    * how long the stream runs. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, col, concat_ws, md5, split, trim}
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
+    val withFp = docs.withColumn("fp", fp)
+    if (withFp.isStreaming)
+      withFp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+    else withFp.dropDuplicates("fp")
+  }
+
   /** Read the parquet events table as a bounded file STREAM (one file
     * per trigger) — how the same pipeline runs incrementally over an
     * arriving directory at scale. */

@@ -74,6 +74,12 @@ class ApiSpec extends AnyFunSuite {
       val out = conf.checkpoint.loadOutput("api-pipe", pid, "wrap").get
       assert(new String(out.head._2, "UTF-8") == "(ping)")
 
+      // details endpoint: status + structured ledger
+      val (dc, details) = get(port, s"/pipelines/api-pipe/processings/$pid")
+      assert(dc == 200 && details.contains(""""is_completed":true"""))
+      assert(details.contains(""""block":"wrap""""))
+      assert(get(port, "/pipelines/api-pipe/processings/nope")._1 == 404)
+
       // resume requires processing_id and slug
       assert(post(port, "/pipelines/api-pipe/resume", "{}")._1 == 400)
       val (rc, _) = post(port, "/pipelines/api-pipe/resume",

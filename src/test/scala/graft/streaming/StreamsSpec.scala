@@ -9,6 +9,10 @@ import java.sql.Timestamp
 /** Streaming transforms asserted against the BATCH result over the
   * same rows — the incremental plan must agree with the one the DuckDB
   * gate verifies. */
+object StreamsSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+}
+
 class StreamsSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
@@ -62,6 +66,30 @@ class StreamsSpec extends AnyFunSuite {
       assert(out.map(s => (s.user_id, s.n_events, s.sum_value)) == Seq(
         (1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0), (2L, 1, 16.0)))
       assert(out.head.session_start == ts(5) && out.head.session_end == ts(20))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    import StreamsSpec.Doc
+    val mem = MemoryStream[Doc](spark)
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(0, ts(1), "alpha beta"),
+        Doc(1, ts(2), "beta  alpha"), // same token set → same fingerprint
+        Doc(2, ts(3), "gamma delta"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2)
+      assert(kept.contains(2L))
+      assert(kept.intersect(Set(0L, 1L)).size == 1) // one of the dup pair
+      // batch form agrees on the same rows
+      val batch = Streams.dedupStream(Seq(
+        Doc(0, ts(1), "alpha beta"), Doc(1, ts(2), "beta  alpha"),
+        Doc(2, ts(3), "gamma delta")).toDF())
+      assert(batch.count() == 2)
     } finally q.stop()
   }
 
