@@ -118,6 +118,23 @@ class WiringSpec extends AnyFunSuite {
       _ => Some(Seq("""{"a":1}""".getBytes))).isLeft)
   }
 
+  test("spec parse: duplicate slugs, unknown ids, short descriptions rejected") {
+    val json =
+      """{"slug":"p","title":"t","description":"d","blocks":[
+        |{"id":"wrap_text","slug":"dup","description":"first of the duplicate slugs here"},
+        |{"id":"wrap_text","slug":"dup","description":"second of the duplicate slugs here"},
+        |{"id":"no_such_block","slug":"b3","description":"references an unregistered block id"},
+        |{"id":"wrap_text","slug":"b4","description":"too short"},
+        |{"id":"wrap_text","slug":"b5","description":"wires a property to a missing origin",
+        | "input_config":{"property":{"text":{"origin":"ghost"}}}}
+        |]}""".stripMargin
+    val errs = PipelineSpec.parse(json, Set("wrap_text")).swap.toOption.get
+    assert(errs.exists(_.contains("duplicate block slug 'dup'")))
+    assert(errs.exists(_.contains("unknown block id 'no_such_block'")))
+    assert(errs.exists(_.contains("at least 20 chars")))
+    assert(errs.exists(_.contains("unknown origin 'ghost'")))
+  }
+
   test("spec parse validates origins against document order") {
     val knownIds = Set("wrap_text")
     val json =
