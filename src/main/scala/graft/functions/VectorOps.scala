@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * a tight primitive loop over the two `ArrayData`s inside whole-stage
   * codegen — no allocation, no lambda dispatch — and sums left-to-right
   * exactly like `aggregate`, so scores are bit-identical to the
-  * reference formulation (and to the DuckDB oracle after round(_, 4)).
+  * reference formulation (and to the DuckDB oracle after round(_, 4))
+  * for equal-length vectors. Length mismatch (impossible for a
+  * fixed-dimension embedding column) sums the common prefix, where
+  * `zip_with` would null-pad and null the whole sum.
   */
 case class DotF64(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{ShingleArray, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions exist purely for speed — their outputs must
+  * be indistinguishable from the declarative formulations they
+  * replaced, across edge cases (empty strings, 1-2 tokens, duplicate
+  * shingles, odd whitespace, empty/mismatched vectors). */
+class ExpressionParitySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("ShingleArray equals the transform/slice formulation on edge-case corpus") {
+    val corpus = Seq(
+      "", " ", "one", "one two", "one two three",
+      "a b c d e f g", "dup dup dup dup",
+      "  leading and trailing  ", "tab\tseparated\ttokens",
+      "a  double  spaced  doc", "x " * 200 + "tail")
+    val df = corpus.toDF("text")
+    val toks = split(trim(col("text")), "\\s+")
+    val reference = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3)))))
+    val rows = df.select(
+        ShingleArray.shingles3(col("text")).as("fast"), reference.as("ref"))
+      .collect()
+    rows.zip(corpus).foreach { case (r, text) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"divergence on '$text'")
+    }
+  }
+
+  test("DotF64 equals aggregate(zip_with) on equal-length vectors (bit-exact)") {
+    val cases: Seq[(Seq[Double], Seq[Double])] = Seq(
+      (Nil, Nil), (Seq(1.5, -2.5), Seq(4.0, 8.0)),
+      (Seq.tabulate(64)(_ * 0.1), Seq.tabulate(64)(i => 1.0 / (i + 1))),
+      (Seq(1e300, 1e-300), Seq(1e300, 1e300)))
+    val df = cases.toDF("a", "b")
+    val reference = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(VectorOps.dot(col("a"), col("b")).as("fast"), reference.as("ref"))
+      .collect().foreach { r =>
+        val (fast, ref) = (r.getDouble(0), r.getDouble(1))
+        assert(java.lang.Double.compare(fast, ref) == 0 ||
+          (fast.isInfinite && ref.isInfinite), s"$fast != $ref")
+      }
+    // Mismatched lengths: zip_with null-pads (nulling the whole sum);
+    // DotF64 sums the common prefix — documented divergence, impossible
+    // for a fixed-dimension embedding column.
+    val mm = Seq((Seq(2.0, 3.0), Seq(5.0))).toDF("a", "b")
+    assert(mm.select(VectorOps.dot(col("a"), col("b"))).collect()(0).getDouble(0) == 10.0)
+    assert(mm.select(reference).collect()(0).isNullAt(0))
+  }
+
+  test("rolling_hash codegen and interpreted paths agree") {
+    // force the interpreted path via eval on a literal, codegen via df
+    val samples = Seq("", "a", "hello world", "ü-umlaut €", "x" * 10000)
+    val viaDf = samples.toDF("s")
+      .select(graft.functions.RollingHash.rolling_hash(col("s"))).collect()
+      .map(_.getLong(0)).toSeq
+    val direct = samples.map(s => s.getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L))
+    assert(viaDf == direct)
+  }
+
+  test("concurrent pipeline runs under distinct processing ids stay isolated") {
+    import graft.pipeline._
+    val registry = BlockRegistry.standard()
+    val root = java.nio.file.Files.createTempDirectory("concurrent").toString
+    val conf = Runner.RunConfig(spark, registry,
+      new CheckpointStore(root), Clients.mockCtx())
+    val spec = PipelineSpec("conc", "t", "d", Seq(
+      BlockSpec("wrap_text", "wrap", "wrap this run's distinct input text")))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val runs = (0 until 6).map { i =>
+      Runner.processAsync(spec,
+        Runner.StartInput(input = Map(
+          "text" -> PStr(s"payload-$i"), "prefix" -> PStr("("), "suffix" -> PStr(")"))),
+        conf)
+    }
+    val reports = runs.map { case (_, f) =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf) }
+    reports.zipWithIndex.foreach { case (r, i) =>
+      assert(r.status == Runner.Completed)
+      assert(new String(r.outputs("wrap").head._2, "UTF-8") == s"(payload-$i)")
+      // each run's checkpoint lives under its own processing id
+      val onDisk = conf.checkpoint.loadOutput("conc", r.processingId, "wrap").get
+      assert(new String(onDisk.head._2, "UTF-8") == s"(payload-$i)")
+    }
+    assert(reports.map(_.processingId).distinct.size == 6)
+  }
+}
