@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("json_path_extract"),
       new ExpressionInfo(classOf[JsonPathExtract].getName, "json_path_extract"),
       arity("json_path_extract", 2)(e => JsonPathExtract(e(0), e(1)))))
+    ext.injectFunction((new FunctionIdentifier("minhash32"),
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "minhash32"),
+      arity("minhash32", 1)(e =>
+        graft.functions.MinHashAgg(e.head).toAggregateExpression())))
   }
 }
 

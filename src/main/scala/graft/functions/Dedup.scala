@@ -90,9 +90,13 @@ object Dedup {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
     val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val minCols = (0 until numHashes).map(k => min(hash(col("sh"), lit(k))).as(s"m$k"))
-    val sigs = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bandsOf).map(j => hash(col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
+    // custom Catalyst aggregate: one 32-slot sketch buffer per doc
+    // (map-side-combined, pairwise-min merge) instead of 32 separate
+    // min(hash) aggregate columns
+    val sigs = ex.groupBy("doc_id")
+      .agg(MinHashAgg.minhash32(col("sh")).as("sig"))
+    val bandCols = (0 until bandsOf).map(j =>
+      hash(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2)))
     val bands = sigs.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val cand = bands.alias("a").join(bands.alias("b"),

@@ -64,6 +64,34 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(viaDf == direct)
   }
 
+  test("minhash32 aggregate: mergeable sketch estimates Jaccard within tolerance") {
+    import graft.functions.MinHashAgg
+    // two sets with known Jaccard 50/150 ≈ 0.333, one disjoint pair
+    val rows =
+      (0 until 100).map(i => ("a", s"tok-$i")) ++
+      (50 until 150).map(i => ("b", s"tok-$i")) ++
+      (0 until 100).map(i => ("c", s"other-$i"))
+    val sigs = rows.toDF("gid", "sh")
+      .groupBy("gid").agg(MinHashAgg.minhash32(col("sh")).as("sig"))
+    val est = sigs.alias("x").join(sigs.alias("y"),
+        col("x.gid") < col("y.gid"))
+      .select(col("x.gid"), col("y.gid"),
+        MinHashAgg.jaccardEstimate(col("x.sig"), col("y.sig")).as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toMap2
+    assert(math.abs(est(("a", "b")) - 1.0 / 3.0) <= 0.25, est)
+    assert(est(("a", "c")) <= 0.15, est)
+    // sketch is usable straight from SQL via the extension
+    rows.toDF("gid", "sh").createOrReplaceTempView("shingle_rows")
+    val viaSql = spark.sql(
+      "SELECT gid, minhash32(sh) AS sig FROM shingle_rows GROUP BY gid")
+    assert(viaSql.collect().forall(_.getSeq[Long](1).size == 32))
+  }
+
+  implicit private class ToMap2(rows: Array[(String, String, Double)]) {
+    def toMap2: Map[(String, String), Double] =
+      rows.map { case (a, b, j) => (a, b) -> j }.toMap
+  }
+
   test("concurrent pipeline runs under distinct processing ids stay isolated") {
     import graft.pipeline._
     val registry = BlockRegistry.standard()
