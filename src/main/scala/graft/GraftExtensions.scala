@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "minhash32"),
       arity("minhash32", 1)(e =>
         graft.functions.MinHashAgg(e.head).toAggregateExpression())))
+    ext.injectFunction((new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash64"),
+      arity("simhash64", 1)(e =>
+        graft.functions.SimHashAgg(e.head).toAggregateExpression())))
   }
 }
 

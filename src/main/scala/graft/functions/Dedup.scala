@@ -132,15 +132,11 @@ object Dedup {
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b")
-    }
-    val docs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // custom Catalyst aggregate: one 64-counter buffer per doc (strict
+    // bit-majority rule, counter-wise merge) instead of 64 separate
+    // conditional-sum aggregate columns
+    val docs = toks.groupBy("doc_id")
+      .agg(SimHashAgg.simhash64(col("h")).as("simhash"))
     val chunkCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
     val chunks = docs.select(col("doc_id"), col("simhash"),
