@@ -92,9 +92,17 @@ class PipelineService(
               val block = field(parsed, "block")
               val pipeline = field(parsed, "pipeline")
               val blockSlug = strField(block, "slug")
+              // Binary inputs ride as base64 under `<name>_b64` — the
+              // JSON-body analogue of the reference's multipart file
+              // fields (api/schemas/pipelines.go:78-154).
               val input = field(block, "input") match {
-                case PObj(m) => m
-                case _       => Map.empty[String, PValue]
+                case PObj(m) => m.map {
+                  case (k, PStr(b64)) if k.endsWith("_b64") =>
+                    k.stripSuffix("_b64") ->
+                      (PBytes(java.util.Base64.getDecoder.decode(b64)): PValue)
+                  case kv => kv
+                }
+                case _ => Map.empty[String, PValue]
               }
               val targetIndex = field(block, "target_index") match {
                 case PInt(i) => i.toInt

@@ -36,12 +36,14 @@ class ApiSpec extends AnyFunSuite {
         | "input":{"prefix":"(",  "suffix":")"}}
         |]}""".stripMargin
     val spec = PipelineSpec.parse(specJson, registry.ids).toOption.get
+    val uploadSpec = PipelineSpec("upload-pipe", "t", "d", Seq(
+      BlockSpec("upload_file", "take", "accept the posted file bytes")))
     val root = java.nio.file.Files.createTempDirectory("graft-api").toString
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val conf = Runner.RunConfig(spark, registry,
       new CheckpointStore(root), Clients.mockCtx())
-    val svc = new PipelineService(Seq(spec), conf)
+    val svc = new PipelineService(Seq(spec, uploadSpec), conf)
     val port = svc.start()
     try {
       assert(get(port, "/health") == (200, """{"status":"ok"}"""))
@@ -79,6 +81,22 @@ class ApiSpec extends AnyFunSuite {
       assert(dc == 200 && details.contains(""""is_completed":true"""))
       assert(details.contains(""""block":"wrap""""))
       assert(get(port, "/pipelines/api-pipe/processings/nope")._1 == 404)
+
+      // base64 file input (the multipart analogue): starts an
+      // upload-shaped run whose checkpoint holds the decoded bytes
+      val png = Clients.MockLLMClient.pngBytes("api-upload")
+      val b64 = java.util.Base64.getEncoder.encodeToString(png)
+      val (uc, up) = post(port, "/pipelines/upload-pipe/start",
+        s"""{"block":{"slug":"","input":{"file_b64":"$b64"}}}""")
+      assert(uc == 200)
+      val upid = up.split("\"")(3)
+      val deadline2 = System.currentTimeMillis() + 20000
+      var uploaded: Option[Seq[(Int, Array[Byte])]] = None
+      while (uploaded.isEmpty && System.currentTimeMillis() < deadline2) {
+        uploaded = conf.checkpoint.loadOutput("upload-pipe", upid, "take")
+        if (uploaded.isEmpty) Thread.sleep(50)
+      }
+      assert(uploaded.get.head._2.sameElements(png))
 
       // resume requires processing_id and slug
       assert(post(port, "/pipelines/api-pipe/resume", "{}")._1 == 400)
