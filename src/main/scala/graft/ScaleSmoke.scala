@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-extrapolation smoke: replicate the documents/embeddings tables
+  * N× (fresh ids, perturbed text so dedup groups don't explode) and
+  * time the heavy operators — evidence that candidate generation stays
+  * near-linear instead of quadratic. Run:
+  *   sbt "runMain graft.ScaleSmoke [factor]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = Graft.sessionBuilder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val big = "target/scale-smoke"
+
+    // documents ×factor: new ids; every token of copy k!=0 is prefixed
+    // with the copy id, so each copy has its own shingle vocabulary —
+    // the corpus GROWS instead of becoming an all-near-dup pathology
+    // (same per-shingle document frequency as the original, candidate
+    // pairs scale linearly with the factor).
+    val d = Tables.t(spark, src, "documents")
+    val n = d.count()
+    d.crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * n).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            t => concat(lit("v"), col("copy"), lit("·"), t)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    val e = Tables.t(spark, src, "embeddings")
+    val ne = e.count()
+    e.crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * ne).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    val docs = spark.read.parquet(s"$big/documents.parquet").count()
+    println(s"corpus: $docs documents, ${ne * factor} embeddings (${factor}x sf0.1)")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s   rows=$rows")
+    }
+    spark.range(1000000).groupBy(expr("id % 97")).count().count() // warmup
+    import graft.functions._
+    time("dd_exact")(Dedup.ddExact(spark, big).count())
+    time("dd_ngram_jaccard")(Dedup.ddNgramJaccard(spark, big).count())
+    time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
+    time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
+    time("ta_bm25")(TextAnalysis.taBm25(spark, big).count())
+    time("ta_fingerprint")(TextAnalysis.taFingerprint(spark, big).count())
+    time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
+    spark.stop()
+  }
+}

@@ -44,14 +44,21 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** IVF-bucketed ANN: deterministic centroids (vec_id % 100 == 0),
-    * nprobe = 2. Rows-only driver check (approximate by construction);
-    * the ScalaTest spec asserts recall against ssCosineTopK. */
+  /** IVF-bucketed ANN: ~√N deterministic centroids (every ⌈N/√N⌉-th
+    * vector), nprobe = 4. With k ≈ √N the assignment step is O(N·√N)
+    * and each probe scans ~√N vectors — the sublinear-per-query shape
+    * that survives corpus growth (a corpus-proportional centroid count
+    * would make assignment quadratic; the 20× ScaleSmoke exposed
+    * exactly that). Rows-only driver check (approximate by
+    * construction); the ScalaTest spec asserts recall against
+    * ssCosineTopK. */
   def ssIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = e.where(col("vec_id") % 100 === 0)
+    val nVecs = e.count()
+    val step = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
+    val cents = e.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
     // Assign every vector to its nearest centroid (cosine, ties → min c_id).
@@ -64,7 +71,7 @@ object Similarity {
       .where(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
 
-    // Each query probes its nprobe=2 nearest centroids.
+    // Each query probes its nprobe=4 nearest centroids.
     val q = assigned.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
@@ -72,7 +79,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("c_cos"))
       .withColumn("prn", row_number().over(wProbe))
-      .where(col("prn") <= 2)
+      .where(col("prn") <= 4)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cluster"))
 
     // Search only the probed buckets.

@@ -63,4 +63,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q14 as-of join: one exchange on user_id, no inequality join") {
+    val plan = planOf(Relational.q14AsofJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the union-window shape shuffles once by user_id for the window
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q15 range join: bucketed equi-join, no nested-loop fallback") {
+    val plan = planOf(Relational.q15RangeJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
