@@ -55,14 +55,20 @@ object Dedup {
     // IN THE SAME candidate pair — P ≈ (distinct shingles)²/2⁶⁴, far
     // below any realistic corpus; the DuckDB gate (string-keyed)
     // cross-checks the output every round.
-    val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("sh"))
+    val s = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // The pair-instance stream (the big intermediate) carries ONLY the
+    // two doc ids; per-doc shingle counts join onto the far smaller
+    // aggregated pair set afterwards (AQE broadcasts the size table
+    // when it fits).
     val pairs = s.alias("a").join(s.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = docs.select(col("doc_id"), col("n"))
     pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .where(col("jaccard") >= 0.5)
