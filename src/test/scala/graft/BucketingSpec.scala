@@ -7,7 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Proves the bucketed-ingest → exchange-free-join property from the
   * physical plan, and that results are identical to the shuffled join. */
 class BucketingSpec extends AnyFunSuite {
-  import SparkTestSession.{sf, spark}
+  import SparkTestSession.sf
+
+  // Own session (shared context, ISOLATED SQLConf): this suite disables
+  // the broadcast threshold, which must not leak into concurrently
+  // running suites that assert broadcast plans.
+  private lazy val spark = SparkTestSession.spark.newSession()
 
   test("bucketed fact-fact join plans without any exchange") {
     val li = Tables.t(spark, sf, "lineitem")
