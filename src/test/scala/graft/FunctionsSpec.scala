@@ -68,6 +68,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("int8-quantized top-k recalls most of the exact top-k") {
+    val exact = Similarity.ssCosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.ssQuantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("HLL++ sketch cardinality stays within 5% of the exact distinct count") {
     // q17 gates the EXACT count; the sketch path (approx_count_distinct)
     // is the 100 TB form — one pass, fixed memory, no distinct shuffle.
