@@ -245,7 +245,15 @@ object Runner {
 
       val finalRows = newRows.sortBy(_._1).toSeq
       outputs(blockSpec.slug) = finalRows
-      conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, finalRows)
+      // E11 — storage failures are logged, not fatal (the reference
+      // reports per-storage save errors and keeps processing,
+      // pipeline.go:545-560); the run continues on in-memory state but
+      // a later RESUME would lose this stage.
+      Try(conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, finalRows))
+        .failed.foreach { ex =>
+          ledger += LedgerEntry(blockSpec.slug, -1, "checkpoint_failed", 0,
+            now(), now(), String.valueOf(ex.getMessage))
+        }
     }
 
     RunReport(processingId, Completed, outputs.toMap, ledger.toSeq)

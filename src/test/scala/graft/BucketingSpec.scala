@@ -14,6 +14,28 @@ class BucketingSpec extends AnyFunSuite {
   // running suites that assert broadcast plans.
   private lazy val spark = SparkTestSession.spark.newSession()
 
+  test("partitioned ingest: pruned dirs, bounded files, no small-file explosion") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val docs = Tables.t(spark, sf, "documents")
+    graft.queries.Ingest.writePartitioned(docs, out,
+      partitionCols = Seq("lang"), maxRecordsPerFile = 100, sortCols = Seq("doc_id"))
+    // directory partitioning by the pruning column
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    assert(langDirs.nonEmpty)
+    // bounded file sizes: no parquet file above the record cap
+    val reread = spark.read.parquet(out)
+    assert(reread.count() == docs.count())
+    import org.apache.spark.sql.functions.{count, input_file_name}
+    val perFile = reread.groupBy(input_file_name()).agg(count("*").as("n"))
+      .collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 100), s"file over cap: ${perFile.max}")
+    // partition pruning visible in the plan
+    val pruned = reread.where(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan.take(2000))
+  }
+
   test("bucketed fact-fact join plans without any exchange") {
     val li = Tables.t(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")

@@ -274,6 +274,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(report.ledger.exists(_.status == "transferred"))
   }
 
+  test("checkpoint write failure is non-fatal: run completes on memory state") {
+    // the reference's no-space-left storage fault injection
+    // (test/unit/main_test.go noSpaceLeftLocalStorage)
+    val root = java.nio.file.Files.createTempDirectory("graft-nospace").toString
+    val failing = new CheckpointStore(root) {
+      override def saveOutput(pipeline: String, processingId: String,
+          blockSlug: String, rows: Seq[(Int, Array[Byte])]): Unit =
+        throw new java.io.IOException("no space left on device")
+    }
+    val spec = parse(
+      """{"slug":"nospace","title":"t","description":"d","blocks":[
+        |{"id":"wrap_text","slug":"wrap","description":"wrap text despite failing storage",
+        | "input":{"text":"still works","prefix":"<",  "suffix":">"}}
+        |]}""".stripMargin)
+    val conf = RunConfig(spark, registry, failing, Clients.mockCtx())
+    val report = process(spec, StartInput(), conf)
+    assert(report.status == Completed)
+    assert(str(report, "wrap") == "<still works>")
+    assert(report.ledger.exists(e =>
+      e.status == "checkpoint_failed" && e.error.contains("no space left")))
+  }
+
   test("E13: a single-input stage returning N buffers explodes to N rows") {
     // audio_chunk via the ffmpeg stub: the stub writes one output file,
     // so emulate the explode with a synthetic block result instead —
