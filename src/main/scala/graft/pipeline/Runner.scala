@@ -204,11 +204,26 @@ object Runner {
         if (at >= 0) newRows(at) = (idx, bytes) else newRows += ((idx, bytes))
       }
 
+      // The reference saves every completed row's output immediately
+      // (SaveOutput per row, pipeline.go:523-601); when a later row
+      // stops the stage, earlier rows' outputs must survive for
+      // resume/regeneration.
+      def commitPartial(): Unit = {
+        val rows = newRows.sortBy(_._1).toSeq
+        outputs(blockSpec.slug) = rows
+        Try(conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, rows))
+          .failed.foreach { ex =>
+            ledger += LedgerEntry(blockSpec.slug, -1, "checkpoint_failed", 0,
+              now(), now(), String.valueOf(ex.getMessage))
+          }
+      }
+
       sortedResults.foreach { case (idx, tried) =>
         tried match {
           case scala.util.Failure(ex) =>
             ledger += LedgerEntry(blockSpec.slug, idx, "failed", 1, t0, now(),
               String.valueOf(ex.getMessage))
+            commitPartial() // completed rows before the failure survive
             return RunReport(processingId,
               Failed(s"${blockSpec.slug}[$idx]: ${ex.getMessage}"),
               outputs.toMap, ledger.toSeq)
@@ -218,6 +233,7 @@ object Runner {
                 if (res.targetSlug.nonEmpty && res.targetIdx >= 0) "stopped_for_regeneration"
                 else "stopped"
               ledger += LedgerEntry(blockSpec.slug, idx, status, 1, t0, now())
+              commitPartial()
               if (res.targetSlug.nonEmpty && res.targetIdx >= 0) {
                 // E10: replay the resolved input of the target row.
                 val replay = blockInputsData.get(res.targetSlug)
@@ -243,17 +259,11 @@ object Runner {
         }
       }
 
-      val finalRows = newRows.sortBy(_._1).toSeq
-      outputs(blockSpec.slug) = finalRows
       // E11 — storage failures are logged, not fatal (the reference
       // reports per-storage save errors and keeps processing,
       // pipeline.go:545-560); the run continues on in-memory state but
       // a later RESUME would lose this stage.
-      Try(conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, finalRows))
-        .failed.foreach { ex =>
-          ledger += LedgerEntry(blockSpec.slug, -1, "checkpoint_failed", 0,
-            now(), now(), String.valueOf(ex.getMessage))
-        }
+      commitPartial()
     }
 
     RunReport(processingId, Completed, outputs.toMap, ledger.toSeq)
