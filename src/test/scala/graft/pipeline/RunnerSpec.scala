@@ -274,6 +274,55 @@ class RunnerSpec extends AnyFunSuite {
     assert(report.ledger.exists(_.status == "transferred"))
   }
 
+  test("destinationSlug bounds the TargetIndex skip window") {
+    // tr → wrapA (fan-out) → wrapB: restart at wrapA, target idx 1,
+    // destination wrapB ⇒ wrapA AND intermediate blocks recompute only
+    // idx 1; the destination block recomputes every index.
+    val spec = parse(
+      """{"slug":"dest","title":"t","description":"d","blocks":[
+        |{"id":"openai_transcription_request","slug":"tr","description":"transcribe the uploaded audio bytes",
+        | "input":{"audio":"fake-audio"}},
+        |{"id":"wrap_text","slug":"wrapA","description":"first wrap of each segment text",
+        | "input":{"prefix":"A["},
+        | "input_config":{"type":"array","property":{
+        |   "text":{"origin":"tr","json_path":"$.segments[*].text"}}}},
+        |{"id":"wrap_text","slug":"wrapB","description":"second wrap over the first one",
+        | "input":{"prefix":"B["},
+        | "input_config":{"type":"array","property":{
+        |   "text":{"origin":"wrapA"}}}}
+        |]}""".stripMargin)
+    val (conf, _, _, _) = freshConf()
+    val first = process(spec, StartInput(), conf)
+    assert(first.status == Completed)
+    // restart with a poisoned replay input for idx 1 only
+    val resumed = process(spec,
+      StartInput("wrapA", Map("text" -> PStr("REGEN"), "prefix" -> PStr("A[")),
+        targetIndex = 1, destinationSlug = "wrapB"),
+      conf, first.processingId)
+    assert(resumed.status == Completed)
+    val a = resumed.outputs("wrapA").sortBy(_._1).map(r => new String(r._2, "UTF-8"))
+    assert(a(1) == "A[REGEN")            // target idx recomputed from replay
+    assert(a(0) == "A[seg zero")         // siblings preserved from checkpoint
+    assert(a(3) == "A[seg three")
+    val b = resumed.outputs("wrapB").sortBy(_._1).map(r => new String(r._2, "UTF-8"))
+    assert(b == Seq("B[A[seg zero", "B[A[REGEN", "B[A[seg two", "B[A[seg three"),
+      b.mkString("; "))
+  }
+
+  test("resume without a checkpoint fails with a clear origin error") {
+    val spec = parse(
+      """{"slug":"cold","title":"t","description":"d","blocks":[
+        |{"id":"wrap_text","slug":"first","description":"produce the upstream value",
+        | "input":{"text":"v"}},
+        |{"id":"wrap_text","slug":"second","description":"depends on the first block",
+        | "input_config":{"property":{"text":{"origin":"first"}}}}
+        |]}""".stripMargin)
+    val (conf, _, _, _) = freshConf()
+    val report = resume(spec, "no-such-processing", "second", conf)
+    assert(report.status.isInstanceOf[Failed])
+    assert(report.status.asInstanceOf[Failed].error.contains("origin first not found"))
+  }
+
   test("checkpoint write failure is non-fatal: run completes on memory state") {
     // the reference's no-space-left storage fault injection
     // (test/unit/main_test.go noSpaceLeftLocalStorage)
