@@ -92,6 +92,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join — the incremental q15: each error
+    * event joined to the same user's events in the following hour.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time range, so each side's state is pruned once the
+    * watermark passes the interval — bounded state, any stream length. */
+  def followersWithinHour(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val errors = (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    val all = (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        col("event_id").as("f_id"))
+    errors.join(all,
+      col("err_user") === col("f_user") &&
+        col("f_ts") > col("err_ts") &&
+        col("f_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same fingerprint
     * inside the watermark horizon (`dropDuplicatesWithinWatermark`) —
     * the incremental form of dd_exact. State is keyed by fingerprint

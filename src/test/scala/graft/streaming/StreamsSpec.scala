@@ -93,6 +93,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val mem = MemoryStream[Streams.Event](spark)
+    val joined = Streams.followersWithinHour(mem.toDF())
+    val q = joined.writeStream.format("memory").queryName("followers")
+      .outputMode("append").start()
+    try {
+      val data = Seq(
+        Streams.Event(0, ts(10), 1, "error", 0.0),
+        Streams.Event(1, ts(30), 1, "click", 1.0),  // within the hour
+        Streams.Event(2, ts(90), 1, "click", 2.0),  // outside
+        Streams.Event(3, ts(20), 2, "click", 3.0))  // other user
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(Streams.Event(99, ts(10000), 9, "tick", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val streaming = spark.table("followers")
+        .select("err_id", "f_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Streams.followersWithinHour(data.toDF())
+        .select("err_id", "f_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streaming == batch)
+      assert(batch == Set((0L, 1L)))
+    } finally q.stop()
+  }
+
   test("event file stream over the testdata directory aggregates incrementally") {
     // Copy the parquet file into a streaming source dir (bounded file
     // stream, one file per trigger).
