@@ -173,7 +173,28 @@ object Dedup {
       .limit(40)
   }
 
+  /** Benchmark decontamination: flag documents sharing any 3-gram with
+    * a benchmark phrase set. The benchmark side is tiny by nature →
+    * broadcast equi-join on the shingle; each training doc is checked
+    * in one scan regardless of corpus size (the standard pre-training
+    * leakage filter). */
+  def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq(
+      "query data stream", "table key filter", "sort table scan")
+    import spark.implicits._
+    val bench = phrases.toDF("phrase")
+      .select(col("phrase"), explode(shingles(col("phrase"))).as("sh"))
+    val docShingles = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    docShingles.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("phrase"))), ",").as("matched"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_decontaminate" -> ddDecontaminate _,
     "dd_exact"         -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
@@ -182,6 +203,24 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dd_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT phrase, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' ')))) AS sh
+        |  FROM (SELECT phrase, string_split_regex(trim(phrase),'\s+') AS tk
+        |        FROM (VALUES ('query data stream'), ('table key filter'),
+        |                     ('sort table scan')) p(phrase))),
+        |ds AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |        FROM documents))
+        |SELECT doc_id, count(*) AS n_hits,
+        |  array_to_string(list_sort(list(DISTINCT phrase)), ',') AS matched
+        |FROM ds JOIN bench USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id, canonical, group_size, fp FROM (
         |  SELECT doc_id,

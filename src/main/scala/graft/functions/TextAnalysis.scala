@@ -167,7 +167,29 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprint _,
     "ta_bm25"        -> taBm25 _,
     "ta_pack"        -> taPack _,
+    "ta_scrub"       -> taScrub _,
   )
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val DigitRunRe = "[0-9]{6,}"
+
+  /** PII/noise scrubbing: mask emails, URLs and long digit runs, with
+    * per-doc counts of each — the cleaning pass every training corpus
+    * gets. Pure regexp expressions, one scan, no shuffle. */
+  def taScrub(spark: SparkSession, dir: String): DataFrame = {
+    def hits(c: Column, re: String): Column =
+      size(split(c, re, -1)) - 1
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        hits(col("text"), EmailRe).as("n_emails"),
+        hits(col("text"), UrlRe).as("n_urls"),
+        hits(col("text"), DigitRunRe).as("n_digit_runs"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), UrlRe, "<URL>"), DigitRunRe, "<NUM>")
+          .as("scrubbed"))
+      .orderBy("doc_id")
+  }
 
   private def stopList(s: Seq[String]): String =
     s.map(w => s"'$w'").mkString("(", ",", ")")
@@ -206,6 +228,16 @@ object TextAnalysis {
          |              string_split_regex(trim(lower(text)),'\\s+') AS toks
          |            FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "ta_scrub" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails,
+        |  len(string_split_regex(text, 'https?://[^\s]+')) - 1 AS n_urls,
+        |  len(string_split_regex(text, '[0-9]{6,}')) - 1 AS n_digit_runs,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_pack" ->
       """SELECT doc_id, source, n_toks,
         |  CAST(floor((cum - n_toks) / 512) AS BIGINT) AS bin
