@@ -47,9 +47,18 @@ class PipelineService(
         case ("GET", List("health")) =>
           respond(ex, 200, """{"status":"ok"}""")
         case ("GET", List("blocks")) =>
+          // id + availability + the input schema (the reference serves
+          // each block's JSON Schema string; we serve the parsed form)
           val blocks = conf.registry.byId.values.toSeq.sortBy(_.id).map(op =>
             PObj(Map("id" -> PStr(op.id), "description" -> PStr(op.description),
-              "available" -> PBool(op.available(conf.ctx)))))
+              "available" -> PBool(op.available(conf.ctx)),
+              "input_schema" -> PArr(op.props.map(p => PObj(Map(
+                "name" -> PStr(p.name),
+                "type" -> PStr(typeName(p.typ)),
+                "required" -> PBool(p.required)) ++
+                p.default.map(d => "default" -> d) ++
+                (if (p.enumVals.nonEmpty)
+                  Some("enum" -> PArr(p.enumVals.map(PStr(_)))) else None)))))))
           respond(ex, 200, Json.render(PArr(blocks)))
         case ("GET", List("pipelines")) =>
           respond(ex, 200, Json.render(PArr(specs.map(describe))))
@@ -132,6 +141,18 @@ class PipelineService(
       case e: Exception =>
         respond(ex, 500, Json.render(PObj(Map("error" -> PStr(String.valueOf(e.getMessage))))))
     }
+  }
+
+  private def typeName(t: PType): String = t match {
+    case TString => "string"
+    case TFile   => "file"
+    case TUrl    => "url"
+    case TColor  => "color"
+    case TNumber => "number"
+    case TInt    => "integer"
+    case TBool   => "boolean"
+    case TArr(e) => s"array<${typeName(e)}>"
+    case TObj    => "object"
   }
 
   private def describe(s: PipelineSpec): PObj = PObj(Map(

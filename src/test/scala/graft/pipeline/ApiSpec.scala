@@ -50,8 +50,10 @@ class ApiSpec extends AnyFunSuite {
 
       val (bc, blocks) = get(port, "/blocks")
       assert(bc == 200 && blocks.contains(""""id":"wrap_text""""))
-      // all 25 block ids are served
+      // all 25 block ids are served, with their input schemas
       assert(registry.ids.forall(id => blocks.contains(s""""id":"$id"""")))
+      assert(blocks.contains(""""input_schema""""))
+      assert(blocks.contains(""""enum""""))
 
       val (pc, pipelines) = get(port, "/pipelines")
       assert(pc == 200 && pipelines.contains(""""slug":"api-pipe""""))

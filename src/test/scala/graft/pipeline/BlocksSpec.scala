@@ -107,6 +107,22 @@ class BlocksSpec extends AnyFunSuite {
     }
   }
 
+  test("schema validation: enum rejection, required check, cast fallback") {
+    // enum rejection at prepare time (block.go:163-183 validation)
+    val bad = ControlBlocks.StopPipeline.prepare(row(
+      "data" -> PStr("x"), "condition" -> PStr("~="), "value" -> PStr("y")))
+    assert(bad.isLeft && bad.swap.toOption.get.contains("not in"))
+    // required check
+    val missing = TextBlocks.TextReplace.prepare(row("text" -> PStr("t")))
+    assert(missing.isLeft && missing.swap.toOption.get.contains("missing required"))
+    // numeric casts from JSON reprs
+    val cast = MediaBlocks.VideoFromImage.prepare(row(
+      "image" -> PBytes("img".getBytes), "fps" -> PStr("24"),
+      "end" -> PInt(3))).toOption.get
+    assert(cast("fps") == PInt(24L))
+    assert(cast("end") == PNum(3.0))
+  }
+
   test("config merge quirk: zero values never override defaults") {
     // MergeStructs "right wins only if non-zero" incl. the boolean
     // caveat (SURVEY §2.3) — false/0/"" user inputs keep defaults.
