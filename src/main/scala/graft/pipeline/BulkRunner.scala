@@ -128,11 +128,23 @@ object BulkRunner {
         e.outputColumn(typedCol).cast("binary").as("value")))
     case _ =>
       // generic Distributed block: mapPartitions, rows streamed through
-      // the op (scalar string inputs — array-input blocks in bulk mode
-      // are the ExprBlockOps above)
+      // the op. Columns stay typed by the prop's schema type — a TFile
+      // prop travels as BinaryType end-to-end (a string round-trip would
+      // silently corrupt non-UTF8 payloads like PNG/MP3), everything
+      // else as string re-cast by PropSpec.castTo (so an int prop
+      // arrives as PInt, not a stringly-typed PStr).
       val ctx = conf.ctx
       val props = op.props.filterNot(_.typ.isInstanceOf[TArr])
-      val propCols = props.map(p => typedCol(p.name).as(p.name))
+      val propCols = props.map { p =>
+        val c = p.typ match {
+          case TFile =>
+            if (in.columns.contains(p.name))
+              coalesce(col(p.name).cast("binary"), typedCol(p.name).cast("binary"))
+            else typedCol(p.name).cast("binary")
+          case _ => typedCol(p.name)
+        }
+        c.as(p.name)
+      }
       val ds = in.select((col("idx").cast("int").as("idx") +: propCols): _*)
       import org.apache.spark.sql.Encoders
       val enc = Encoders.tuple(Encoders.scalaInt, Encoders.BINARY)
@@ -140,7 +152,13 @@ object BulkRunner {
       normalize(ds.mapPartitions { rows =>
         rows.map { r =>
           val m = props.zipWithIndex.flatMap { case (p, i) =>
-            Option(r.get(i + 1)).map(v => p.name -> (PStr(v.toString): PValue))
+            Option(r.get(i + 1)).map { v =>
+              val raw: PValue = v match {
+                case b: Array[Byte] => PBytes(b)
+                case s              => PStr(s.toString)
+              }
+              p.name -> p.cast(raw)
+            }
           }.toMap
           val prepared = op.prepare(m).fold(
             e => throw new IllegalArgumentException(s"$slug: $e"), identity)

@@ -65,7 +65,7 @@ class FunctionsSpec extends AnyFunSuite {
     val ivf = Similarity.ssIvfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall $recall")
+    assert(recall >= 0.8, s"IVF recall $recall")
   }
 
   test("int8-quantized top-k recalls most of the exact top-k") {

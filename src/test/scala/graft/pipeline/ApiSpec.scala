@@ -84,6 +84,13 @@ class ApiSpec extends AnyFunSuite {
       assert(details.contains(""""block":"wrap""""))
       assert(get(port, "/pipelines/api-pipe/processings/nope")._1 == 404)
 
+      // by-log-id details variant: a specific historical run ledger
+      val logId = "log_\\d+".r.findFirstIn(details).get
+      val (lc, logDoc) = get(port, s"/pipelines/api-pipe/processings/$pid/$logId")
+      assert(lc == 200 && logDoc.contains(s""""log_id":"$logId""""))
+      assert(logDoc.contains(""""block":"wrap""""))
+      assert(get(port, s"/pipelines/api-pipe/processings/$pid/log_0")._1 == 404)
+
       // base64 file input (the multipart analogue): starts an
       // upload-shaped run whose checkpoint holds the decoded bytes
       val png = Clients.MockLLMClient.pngBytes("api-upload")
@@ -105,6 +112,105 @@ class ApiSpec extends AnyFunSuite {
       val (rc, _) = post(port, "/pipelines/api-pipe/resume",
         s"""{"pipeline":{"processing_id":"$pid"},"block":{"slug":"wrap","input":{"text":"again"}}}""")
       assert(rc == 200)
+    } finally svc.stop()
+  }
+
+  private def postBytes(port: Int, path: String, body: Array[Byte],
+      contentType: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", contentType)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("multipart/form-data start: file fields, name[] arrays, cap, content-type gate") {
+    val uploadSpec = PipelineSpec("mp-upload", "t", "d", Seq(
+      BlockSpec("upload_file", "take", "accept the posted multipart file")))
+    val joinSpec = PipelineSpec("mp-join", "t", "d", Seq(
+      BlockSpec("join_strings", "join", "join the posted array field",
+        input = Map("separator" -> PStr("|")))))
+    val root = java.nio.file.Files.createTempDirectory("graft-api-mp").toString
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val conf = Runner.RunConfig(spark, registry,
+      new CheckpointStore(root), Clients.mockCtx())
+    val svc = new PipelineService(Seq(uploadSpec, joinSpec), conf)
+    val port = svc.start()
+    try {
+      val boundary = "graftBoundary857492"
+      def multipartBody(fields: Seq[(String, String)],
+          files: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        fields.foreach { case (name, value) =>
+          out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+            s"""name="$name"\r\n\r\n$value\r\n""").getBytes("UTF-8"))
+        }
+        files.foreach { case (name, filename, data) =>
+          out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+            s"""name="$name"; filename="$filename"\r\n""" +
+            "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8"))
+          out.write(data)
+          out.write("\r\n".getBytes("UTF-8"))
+        }
+        out.write(s"--$boundary--\r\n".getBytes("UTF-8"))
+        out.toByteArray
+      }
+      val ct = s"multipart/form-data; boundary=$boundary"
+
+      // a real binary file field rides byte-exact through the form
+      val png = Clients.MockLLMClient.pngBytes("multipart-upload")
+      val (mc, mp) = postBytes(port, "/pipelines/mp-upload/start",
+        multipartBody(
+          Seq("pipeline.slug" -> "mp-upload", "block.slug" -> "take"),
+          Seq(("block.input.file", "a.png", png))), ct)
+      assert(mc == 200 && mp.contains("processing_id"), mp)
+      val pid = mp.split("\"")(3)
+      val deadline = System.currentTimeMillis() + 20000
+      var out: Option[Seq[(Int, Array[Byte])]] = None
+      while (out.isEmpty && System.currentTimeMillis() < deadline) {
+        out = conf.checkpoint.loadOutput("mp-upload", pid, "take")
+        if (out.isEmpty) Thread.sleep(50)
+      }
+      assert(out.get.head._2.sameElements(png), "file bytes must survive byte-exact")
+
+      // name[] array fields collapse to one array input
+      val (jc, jp) = postBytes(port, "/pipelines/mp-join/start",
+        multipartBody(
+          Seq("pipeline.slug" -> "mp-join", "block.slug" -> "join",
+            "block.input.strings[]" -> "alpha", "block.input.strings[]" -> "beta"),
+          Nil), ct)
+      assert(jc == 200, jp)
+      val jpid = jp.split("\"")(3)
+      val deadline2 = System.currentTimeMillis() + 20000
+      var joined: Option[Seq[(Int, Array[Byte])]] = None
+      while (joined.isEmpty && System.currentTimeMillis() < deadline2) {
+        joined = conf.checkpoint.loadOutput("mp-join", jpid, "join")
+        if (joined.isEmpty) Thread.sleep(50)
+      }
+      assert(new String(joined.get.head._2, "UTF-8") == "alpha|beta")
+
+      // required form fields, reference error texts
+      val (bc1, b1) = postBytes(port, "/pipelines/mp-upload/start",
+        multipartBody(Seq("block.slug" -> "take"), Nil), ct)
+      assert(bc1 == 400 && b1.contains("pipeline.slug is missing"))
+      val (bc2, b2) = postBytes(port, "/pipelines/mp-upload/start",
+        multipartBody(Seq("pipeline.slug" -> "mp-upload"), Nil), ct)
+      assert(bc2 == 400 && b2.contains("block.slug is missing"))
+
+      // 10 MiB cap (handlers/pipelines.go:155)
+      val big = multipartBody(
+        Seq("pipeline.slug" -> "mp-upload", "block.slug" -> "take"),
+        Seq(("block.input.file", "big.bin", new Array[Byte](10 * 1024 * 1024 + 1))))
+      assert(postBytes(port, "/pipelines/mp-upload/start", big, ct)._1 == 400)
+
+      // unsupported content types are rejected (handlers/pipelines.go:163)
+      val (uc, ub) = postBytes(port, "/pipelines/mp-upload/start",
+        "text".getBytes("UTF-8"), "text/plain")
+      assert(uc == 400 && ub.contains("Unsupported Content-Type"))
     } finally svc.stop()
   }
 }

@@ -63,6 +63,37 @@ class BulkRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("control-plane Runner"))
   }
 
+  test("generic path keeps binary props binary and types numeric props") {
+    // a real PNG (non-UTF8 bytes: a string round-trip would corrupt it)
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 1, 0xff8800)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(new String(png, "UTF-8").getBytes("UTF-8").toSeq != png.toSeq,
+      "fixture must not survive a UTF-8 round-trip, or the test proves nothing")
+
+    val initial = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0, png)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType))))
+    val resizeSpec = PipelineSpec("bulk-binary", "t", "d", Seq(
+      BlockSpec("image_resize", "resize", "shrink the wired binary image",
+        input = Map("width" -> PInt(2L), "height" -> PInt(2L)),
+        inputConfig = Some(InputConfig(property = Map(
+          "image" -> PropertyWiring("src")))))))
+    val out = BulkRunner.run(resizeSpec, Map("src" -> initial),
+      BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+    val bytes = out("resize").collect()(0).getAs[Array[Byte]]("value")
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(decoded != null, "resize output must decode as an image")
+    assert(decoded.getWidth == 2 && decoded.getHeight == 2)
+  }
+
   test("a 50k-row stage runs distributed with parquet checkpoints") {
     val n = 50000
     val initial = spark.range(n).select(
