@@ -86,6 +86,109 @@ object Clients {
       "ID3".getBytes("UTF-8") ++ payload.getBytes("UTF-8")
   }
 
+  /** Production OpenAI-compatible [[LLMClient]] over java.net.http —
+    * the request/response shapes mirror the reference's go-openai usage
+    * (block_openai_chat_completion.go:81-117 messages + response_format,
+    * block_openai_tts_request.go:33-76 /audio/speech,
+    * block_openai_transcription_request.go:34-83 multipart
+    * /audio/transcriptions, block_openai_image_request.go:34-78
+    * b64_json /images/generations).
+    *
+    * Wired purely from explicit settings (see [[fromEnv]]); the test
+    * suite constructs it but never lets it touch the network — mocks
+    * remain the test path.
+    */
+  class OpenAIClient(baseUrl: String, apiKey: String, timeoutMs: Long = 60000)
+      extends LLMClient {
+    @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+    override def available: Boolean = apiKey.nonEmpty
+
+    private def post(path: String, contentType: String,
+        body: Array[Byte]): Either[String, Array[Byte]] =
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"$baseUrl$path"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Authorization", s"Bearer $apiKey")
+          .header("Content-Type", contentType)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+          .build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() / 100 == 2) Right(resp.body())
+        else Left(s"HTTP ${resp.statusCode()} for POST $path: " +
+          new String(resp.body(), "UTF-8").take(500))
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+    private def postJson(path: String, body: PValue): Either[String, PValue] =
+      post(path, "application/json", Json.render(body).getBytes("UTF-8"))
+        .flatMap(b => Json.tryParse(new String(b, "UTF-8"))
+          .toRight(s"non-JSON response from $path"))
+
+    private def pathGet(v: PValue, segs: Any*): Option[PValue] =
+      segs.foldLeft(Option(v)) {
+        case (Some(PObj(m)), s: String) => m.get(s)
+        case (Some(PArr(xs)), i: Int)   => xs.lift(i)
+        case _                          => None
+      }
+
+    override def chat(model: String, systemPrompt: String, userPrompt: String,
+        responseFormat: String): Either[String, String] = {
+      val messages =
+        (if (systemPrompt.nonEmpty)
+          Seq(PObj(Map("role" -> PStr("system"), "content" -> PStr(systemPrompt))))
+        else Nil) :+
+          PObj(Map("role" -> PStr("user"), "content" -> PStr(userPrompt)))
+      val fmt = if (responseFormat == "json") "json_object" else "text"
+      postJson("/chat/completions", PObj(Map(
+        "model" -> PStr(model),
+        "messages" -> PArr(messages),
+        "response_format" -> PObj(Map("type" -> PStr(fmt))))))
+        .flatMap(r => pathGet(r, "choices", 0, "message", "content")
+          .map(_.asString).toRight("no choices[0].message.content in response"))
+    }
+
+    override def tts(text: String, model: String, voice: String,
+        format: String, speed: Double): Either[String, Array[Byte]] =
+      post("/audio/speech", "application/json", Json.render(PObj(Map(
+        "model" -> PStr(model), "input" -> PStr(text), "voice" -> PStr(voice),
+        "response_format" -> PStr(format), "speed" -> PNum(speed))))
+        .getBytes("UTF-8"))
+
+    override def transcribe(audio: Array[Byte], model: String,
+        language: String, format: String): Either[String, String] = {
+      val boundary = s"graft${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val out = new java.io.ByteArrayOutputStream()
+      def field(n: String, v: String): Unit =
+        out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+          s"""name="$n"\r\n\r\n$v\r\n""").getBytes("UTF-8"))
+      field("model", model)
+      if (language.nonEmpty) field("language", language)
+      field("response_format", format)
+      out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+        "name=\"file\"; filename=\"audio.mp3\"\r\n" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8"))
+      out.write(audio)
+      out.write(s"\r\n--$boundary--\r\n".getBytes("UTF-8"))
+      post("/audio/transcriptions", s"multipart/form-data; boundary=$boundary",
+        out.toByteArray).map(new String(_, "UTF-8"))
+    }
+
+    override def imageGen(prompt: String, quality: String,
+        size: String): Either[String, Array[Byte]] =
+      postJson("/images/generations", PObj(Map(
+        "prompt" -> PStr(prompt), "quality" -> PStr(quality),
+        "size" -> PStr(size), "n" -> PInt(1L),
+        "response_format" -> PStr("b64_json"))))
+        .flatMap(r => pathGet(r, "data", 0, "b64_json").map(_.asString)
+          .toRight("no data[0].b64_json in response"))
+        .flatMap(b64 =>
+          try Right(java.util.Base64.getDecoder.decode(b64))
+          catch { case e: Exception => Left(s"bad b64_json: ${e.getMessage}") })
+  }
+
   // ------------------------------------------------------ moderation
   /** One approve/decline/regenerate button press, as parsed back from
     * the review message (block_send_moderation_telegram.go:56-99). */
@@ -198,4 +301,19 @@ object Clients {
     llm = new MockLLMClient(),
     moderation = new MockModerationClient(),
     http = new MockHttpClient())
+
+  /** Config switch for production runs: a real OpenAI-compatible client
+    * when OPENAI_API_KEY is set (endpoint override via OPENAI_BASE_URL
+    * — any compatible server works), mocks otherwise. The test suite
+    * never calls this with a key in the environment; it stays offline. */
+  def fromEnv(env: String => Option[String] = k => sys.env.get(k)): BlockCtx = {
+    val llm: LLMClient = env("OPENAI_API_KEY") match {
+      case Some(key) if key.nonEmpty => new OpenAIClient(
+        env("OPENAI_BASE_URL").getOrElse("https://api.openai.com/v1"), key)
+      case _ => new MockLLMClient()
+    }
+    BlockCtx(llm = llm,
+      moderation = new MockModerationClient(),
+      http = new JdkHttpClient())
+  }
 }

@@ -226,11 +226,18 @@ object Runner {
       def commitPartial(): Unit = {
         val rows = newRows.sortBy(_._1).toSeq
         outputs(blockSpec.slug) = rows
-        Try(conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, rows))
-          .failed.foreach { ex =>
+        // Per-root failures become ledger lines (the reference records a
+        // SavedOutput error per storage); a store subclass that throws
+        // outright is ledgered the same way.
+        Try(conf.checkpoint.saveOutput(spec.slug, processingId, blockSpec.slug, rows)) match {
+          case scala.util.Success(errs) => errs.foreach { case (root, msg) =>
+            ledger += LedgerEntry(blockSpec.slug, -1, "checkpoint_failed", 0,
+              now(), now(), s"$root: $msg")
+          }
+          case scala.util.Failure(ex) =>
             ledger += LedgerEntry(blockSpec.slug, -1, "checkpoint_failed", 0,
               now(), now(), String.valueOf(ex.getMessage))
-          }
+        }
       }
 
       sortedResults.foreach { case (idx, tried) =>

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Engine dataflow operators E1–E6 (SURVEY §2.1): origin resolution,
@@ -175,16 +174,31 @@ object Wiring {
   /** E2/E3 over a stage frame `(idx, value)`: JSONPath projection with
     * `[*]` fan-out, re-indexed by match position. Runs as a Catalyst
     * expression (JsonPathExtract) + posexplode — fully distributed, for
-    * stages whose fan-out is the data itself. */
-  def jsonPathExplode(stage: DataFrame, path: String): DataFrame =
-    stage
+    * stages whose fan-out is the data itself.
+    *
+    * The global contiguous index comes from `zipWithIndex` over a
+    * range-partitioned, partition-sorted frame (per-partition offsets,
+    * one extra count job) — NOT from a `row_number()` window with no
+    * partitionBy, which would funnel the whole exploded stage through a
+    * single task. */
+  def jsonPathExplode(stage: DataFrame, path: String): DataFrame = {
+    val spark = stage.sparkSession
+    val exploded = stage
       .select(col("idx").as("src_idx"),
         JsonPathExtract.json_path_extract(col("value").cast("string"), path)
           .as("matches"))
       .select(col("src_idx"), posexplode(col("matches")).as(Seq("pos", "value")))
-      .withColumn("idx",
-        row_number().over(Window.orderBy("src_idx", "pos")) - 1)
-      .select("idx", "value")
+      .repartitionByRange(col("src_idx"), col("pos"))
+      .sortWithinPartitions("src_idx", "pos")
+    val indexed = exploded.select("value").rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row(i.toInt, r.getString(0))
+    }
+    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType))))
+  }
 
   /** E4: fan-in — all rows of a stage as ONE array value (ordered by
     * idx), the DataFrame form of `array_input: true`. */
@@ -193,21 +207,44 @@ object Wiring {
       .select(lit(0).as("idx"),
         transform(array_sort(col("xs")), x => x("value")).as("value"))
 
-  /** E5: positional zip of property frames on idx with scalar broadcast:
-    * frames with a single row broadcast their value to every idx (the
-    * MergeMaps inherit rule for the aligned-arrays common case). */
+  /** E5: positional zip of property frames on idx. Scalar (1-row)
+    * frames broadcast their value to every idx, and a multi-row frame
+    * SHORTER than the longest one extends with its last value — the
+    * MergeMaps inherit rule (block.go:404-500: an appended row inherits
+    * the last accumulated row), so the executors agree with the
+    * control-plane zip instead of silently inner-join-dropping the
+    * longer frame's tail. (MergeMaps applies the inherit only when the
+    * shorter property was wired BEFORE the longer one — the common
+    * fan-out shape; this combinator inherits uniformly, which for a
+    * shorter LATER property fills the value the control plane would
+    * leave to the block's literal/default.)
+    *
+    * Each frame is persisted and counted exactly once; everything after
+    * runs off the persisted data (the previous version counted each
+    * frame up to three times, recomputing upstream lineage per count).
+    */
   def zipByIdx(properties: Map[String, DataFrame]): DataFrame = {
     require(properties.nonEmpty)
     val renamed = properties.map { case (name, df) =>
       name -> df.select(col("idx"), col("value").as(name))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val maxRows = renamed.values.map(_.count()).max
+    val counts = renamed.map { case (name, df) => name -> df.count() }
+    val maxRows = counts.values.max
+    val spine = renamed(counts.find(_._2 == maxRows).get._1).select("idx")
     renamed.map { case (name, df) =>
-      if (df.count() == 1 && maxRows > 1)
-        df.drop("idx").crossJoin(
-          renamed.values.filter(_.count() == maxRows).head.select(col("idx")))
-          .select(col("idx"), col(name))
-      else df
+      counts(name) match {
+        case n if n == maxRows => df
+        case 1L =>
+          df.drop("idx").crossJoin(spine).select(col("idx"), col(name))
+        case _ =>
+          val lastVal = df.orderBy(col("idx").desc).limit(1)
+            .select(col(name).as(s"__last_$name"))
+          spine.join(df, Seq("idx"), "left")
+            .crossJoin(broadcast(lastVal))
+            .select(col("idx"),
+              coalesce(col(name), col(s"__last_$name")).as(name))
+      }
     }.reduce((a, b) => a.join(b, Seq("idx"), "inner"))
       .orderBy("idx")
   }

@@ -175,7 +175,12 @@ class ApiSpec extends AnyFunSuite {
         out = conf.checkpoint.loadOutput("mp-upload", pid, "take")
         if (out.isEmpty) Thread.sleep(50)
       }
-      assert(out.get.head._2.sameElements(png), "file bytes must survive byte-exact")
+      val got = out.get.head._2
+      val firstDiff = got.zip(png).indexWhere(p => p._1 != p._2)
+      assert(got.sameElements(png),
+        s"file bytes must survive byte-exact: got ${got.length} vs ${png.length} " +
+          s"bytes, first diff at $firstDiff, got head=${got.take(20).toSeq}, " +
+          s"want head=${png.take(20).toSeq}")
 
       // name[] array fields collapse to one array input
       val (jc, jp) = postBytes(port, "/pipelines/mp-join/start",

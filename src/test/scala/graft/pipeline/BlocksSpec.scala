@@ -197,6 +197,12 @@ class BlocksSpec extends AnyFunSuite {
     assert(Mime.extensionOf(Clients.MockLLMClient.mp3Bytes("x")) == ".mp3")
     assert(Mime.extensionOf("""{"a":1}""".getBytes) == ".json")
     assert(Mime.extensionOf("plain".getBytes) == ".txt")
+    // brace-wrapped but not JSON (e.g. a wrap_text output) stays .txt;
+    // payloads past the 64 KB parse cap fall back to the brace heuristic
+    assert(Mime.extensionOf("[hello]".getBytes) == ".txt")
+    assert(Mime.extensionOf("{not json}".getBytes) == ".txt")
+    val bigNotJson = ("[" + "x" * (70 * 1024) + "]").getBytes
+    assert(Mime.extensionOf(bigNotJson) == ".json")
     assert(Mime.extensionOf(Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p') ++
       "isom".getBytes) == ".mp4")
   }
@@ -245,6 +251,66 @@ class BlocksSpec extends AnyFunSuite {
   test("media blocks are unavailable without any ffmpeg binary") {
     assert(!MediaBlocks.AudioConvert.available(ctx.copy(ffmpegPath = None)) ||
       Ffmpeg.resolve(None).isDefined) // allow machines that do have ffmpeg
+  }
+
+  test("real ffmpeg (when present): one real encode per media block") {
+    // Environment-gated, mirroring the reference's availability
+    // detectors: with a system ffmpeg every media block runs a REAL
+    // encode; bare containers keep the argv-stub coverage above.
+    Ffmpeg.resolve(None) match {
+      case None => info("no system ffmpeg — real-encode cases skipped")
+      case Some(bin) =>
+        val sctx = ctx.copy(ffmpegPath = Some(bin))
+        def proc(op: BlockOp, kvs: (String, PValue)*): Array[Byte] = {
+          val prepared = op.prepare(row(kvs: _*)).fold(
+            e => fail(s"${op.id} prepare: $e"), identity)
+          val r = op.process(InputRow(0, prepared), sctx)
+          assert(r.outputs.head.nonEmpty, s"${op.id} emitted empty output")
+          r.outputs.head
+        }
+        val png = Clients.MockLLMClient.pngBytes("real-frame")
+        val v1 = proc(MediaBlocks.VideoFromImage,
+          "image" -> PBytes(png), "start" -> PNum(0), "end" -> PNum(1))
+        assert(Mime.extensionOf(v1) == ".mp4")
+        val v2 = proc(MediaBlocks.VideoFromImage,
+          "image" -> PBytes(Clients.MockLLMClient.pngBytes("other")),
+          "start" -> PNum(0), "end" -> PNum(1))
+        val joined = proc(MediaBlocks.JoinVideos,
+          "videos" -> PArr(Seq(PBytes(v1), PBytes(v2))), "re_encode" -> PBool(true))
+        assert(Mime.extensionOf(joined) == ".mp4")
+
+        // synthesize 2 s of audio with the binary itself, then convert
+        val tmp = java.nio.file.Files.createTempDirectory("real-ffmpeg")
+        val wavPath = tmp.resolve("tone.wav")
+        assert(Ffmpeg.run(bin, Seq("-y", "-f", "lavfi", "-i",
+          "sine=frequency=440:duration=2", wavPath.toString)).isRight)
+        val wav = java.nio.file.Files.readAllBytes(wavPath)
+        val mp3 = proc(MediaBlocks.AudioConvert,
+          "audio" -> PBytes(wav), "format" -> PStr("mp3"))
+        assert(Mime.extensionOf(mp3) == ".mp3")
+
+        val withAudio = proc(MediaBlocks.VideoAddAudio,
+          "video" -> PBytes(joined), "audio" -> PBytes(mp3))
+        assert(Mime.extensionOf(withAudio) == ".mp4")
+        val extracted = proc(MediaBlocks.AudioFromVideo,
+          "video" -> PBytes(withAudio), "format" -> PStr("mp3"))
+        assert(Mime.extensionOf(extracted) == ".mp3")
+
+        val chunkPrep = MediaBlocks.AudioChunk.prepare(row(
+          "audio" -> PBytes(wav), "duration" -> PStr("1s"))).toOption.get
+        val chunks = MediaBlocks.AudioChunk.process(InputRow(0, chunkPrep), sctx)
+        assert(chunks.outputs.nonEmpty &&
+          chunks.outputs.forall(_.nonEmpty), "audio_chunk emitted no chunks")
+
+        val ass = SubtitleBlocks.SubtitlesFromTranscription.prepare(row(
+          "transcription" -> PStr(Clients.MockLLMClient.defaultTranscription)))
+          .toOption.map(p => SubtitleBlocks.SubtitlesFromTranscription
+            .process(InputRow(0, p), sctx).outputs.head)
+          .getOrElse(fail("subtitles_from_transcription failed"))
+        val subbed = proc(MediaBlocks.VideoAddSubtitles,
+          "video" -> PBytes(withAudio), "subtitles" -> PBytes(ass))
+        assert(Mime.extensionOf(subbed) == ".mp4")
+    }
   }
 
   test("http_request fetches over a real socket; non-200 is an error") {

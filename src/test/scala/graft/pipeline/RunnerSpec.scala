@@ -329,7 +329,7 @@ class RunnerSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft-nospace").toString
     val failing = new CheckpointStore(root) {
       override def saveOutput(pipeline: String, processingId: String,
-          blockSlug: String, rows: Seq[(Int, Array[Byte])]): Unit =
+          blockSlug: String, rows: Seq[(Int, Array[Byte])]): Seq[(String, String)] =
         throw new java.io.IOException("no space left on device")
     }
     val spec = parse(
@@ -343,6 +343,45 @@ class RunnerSpec extends AnyFunSuite {
     assert(str(report, "wrap") == "<still works>")
     assert(report.ledger.exists(e =>
       e.status == "checkpoint_failed" && e.error.contains("no space left")))
+  }
+
+  test("multi-storage fan-out: failing store is ledgered, resume uses the survivor") {
+    // two roots; the second is a plain FILE, so every write to it fails
+    // mid-pipeline (the reference's per-storage SavedOutput error,
+    // pipeline_block_data_registry.go:291-334)
+    val good = java.nio.file.Files.createTempDirectory("graft-ms-good").toString
+    val badFile = java.nio.file.Files.createTempFile("graft-ms-bad", ".notadir")
+    val bad = badFile.toString
+    val store = new CheckpointStore(Seq(good, bad))
+    val spec = parse(
+      """{"slug":"ms-pipe","title":"t","description":"d","blocks":[
+        |{"id":"wrap_text","slug":"wrap","description":"wrap text across two stores",
+        | "input":{"text":"dual","prefix":"<","suffix":">"}},
+        |{"id":"text_replace","slug":"replace","description":"replace the wrap marker char",
+        | "input":{"old":"<","new":"["},
+        | "input_config":{"property":{"text":{"origin":"wrap"}}}}
+        |]}""".stripMargin)
+    val conf = RunConfig(spark, registry, store, Clients.mockCtx())
+    val report = process(spec, StartInput(), conf)
+    assert(report.status == Completed)
+    assert(str(report, "replace") == "[dual>")
+    // the failing root is named in the ledger, once per stage write
+    assert(report.ledger.exists(e =>
+      e.status == "checkpoint_failed" && e.error.startsWith(bad)))
+    // and the surviving root holds the checkpoints
+    assert(store.loadOutput("ms-pipe", report.processingId, "wrap").isDefined)
+
+    // resume from the survivor: a fresh store with the DEAD root
+    // preferred still loads the checkpoint (preference falls through)
+    val resumed = new CheckpointStore(Seq(bad, good))
+    val loaded = resumed.loadOutput("ms-pipe", report.processingId, "wrap")
+    assert(loaded.isDefined &&
+      new String(loaded.get.head._2, "UTF-8") == "<dual>")
+    val conf2 = RunConfig(spark, registry, resumed, Clients.mockCtx())
+    val rerun = process(spec,
+      StartInput(blockSlug = "replace"), conf2, report.processingId)
+    assert(rerun.status == Completed)
+    assert(str(rerun, "replace") == "[dual>")
   }
 
   test("E13: a single-input stage returning N buffers explodes to N rows") {
