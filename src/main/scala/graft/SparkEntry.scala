@@ -8,10 +8,11 @@ import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
   *
   * `queries` is the union of every module's query map; each key has a
   * matching DuckDB `oracleSql` entry unless the op is not
-  * SQL-expressible (hash/approximation-dependent ops: dd_minhash_lsh,
-  * dd_simhash, ss_ivf_topk → the driver records a rows-only check and
-  * the ScalaTest specs assert their semantics against the exact
-  * variants instead).
+  * SQL-expressible (hash/probe-dependent ops: dd_simhash, ss_ivf_topk
+  * → the driver records a rows-only check and the ScalaTest specs
+  * assert their semantics against the exact variants instead;
+  * dd_minhash_lsh and ss_quantized_topk ARE oracle-checked — see their
+  * scaladoc for the determinism argument).
   */
 object SparkEntry {
 

@@ -94,19 +94,23 @@ object Dedup {
           ceil((col("a.n") + col("b.n")) / lit(3.0)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Two-tier verification. Tier 1 scores every candidate on the *hash*
-    // arrays (long-array intersect ≫ cheaper than string sets); a 64-bit
-    // collision can only inflate `shared`, so the tier-1 pass-set is a
-    // superset of the true pairs. Tier 2 recomputes Jaccard on the exact
-    // string arrays for the few survivors — the output is collision-proof.
-    val hsh = docs.select(col("doc_id"),
+    // Two-tier verification. Tier 1 scores every candidate on pre-sorted
+    // *hash* arrays with a codegen'd merge scan ([[SortedOverlap]] —
+    // array_intersect would build a hash set per candidate pair); a
+    // 64-bit collision can only inflate `shared`, so the tier-1 pass-set
+    // is a superset of the true pairs. Tier 2 recomputes Jaccard on the
+    // exact string arrays for the few survivors — the output is
+    // collision-proof.
+    val hsh = docs.select(col("doc_id"), col("n"),
       array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
     val tier1 = cand
-      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .where(round(
-        size(array_intersect(col("ha"), col("hb"))) /
-          size(array_union(col("ha"), col("hb"))).cast("double"), 4) >= 0.5)
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
+      .where(round(col("shared") /
+        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
       .select("doc_a", "doc_b")
     tier1
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
@@ -119,9 +123,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH near-dup detection (not SQL-expressible → rows-only
-    * driver check; its verified output coincides with ddNgramJaccard on
-    * this corpus, which the ScalaTest spec asserts).
+  /** MinHash + LSH near-dup detection. Candidates are approximate
+    * (banded minhash collisions) but every candidate is verified with
+    * the exact Jaccard — so precision is always 1 and the output equals
+    * the exact j ≥ 0.5 pair set whenever banding recall is total. At
+    * 16 bands × 2 rows a pair at the j = 0.5 boundary is missed with
+    * probability ≤ (1−0.5²)¹⁶ ≈ 1%, and the murmur3 seeds are fixed, so
+    * on a given corpus the output is deterministic; the DuckDB oracle
+    * is therefore the exact-Jaccard SQL (the ScalaTest spec asserts the
+    * same lsh == exact equality at sf0.001).
     *
     * 32 minhashes (murmur3 with 32 seeds) banded 16×2; candidates from
     * band-hash equi-join; exact Jaccard verification on candidates only.
@@ -236,7 +246,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the j ≥ 0.5 pair
+    * graph, each member labeled with the component's minimum doc_id
+    * (the canonical representative to keep) and the component size.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (duplicates of a common ancestor), so this is 2-4 rounds in
+    * practice. Each round is one join + one aggregate, fully
+    * distributed; the driver only checks the convergence count (the
+    * standard Spark shape for connected components). */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = ddNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("doc_a") === labels("node"))
+        .select(col("doc_b").as("node"), col("label"))
+      val next = labels.select("node", "label").union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster"       -> ddCluster _,
     "dd_decontaminate" -> ddDecontaminate _,
     "dd_exact"         -> ddExact _,
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
@@ -275,6 +326,51 @@ object Dedup {
         |        FROM documents))
         |WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |        FROM documents)),
+        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |        any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared/(na+nb-shared), 4) AS jaccard
+        |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components over the exact-Jaccard pair graph: the
+    // recursive CTE reaches every node from every component member, so
+    // min(reached) is the component minimum.
+    "dd_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |        FROM documents)),
+        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |        any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE round(shared/(na+nb-shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    // LSH verifies candidates with the exact Jaccard, so its output is
+    // the exact pair set (see ddMinhashLsh scaladoc) — same oracle.
+    "dd_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(len(tk)-2, 1)),

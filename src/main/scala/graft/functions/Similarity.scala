@@ -103,9 +103,12 @@ object Similarity {
     * bytes + one float scale (8× smaller than float64 — the storage
     * and shuffle path for billions of vectors); scoring runs on the
     * quantized values, exact re-ranking is unnecessary for cosine
-    * ordering at this precision. Rows-only driver check (quantization
-    * is approximate by construction); the spec asserts top-k recall
-    * against the exact ssCosineTopK. */
+    * ordering at this precision. DuckDB-oracle-checked: the quantized
+    * values are integer-valued doubles, so every dot product is EXACT
+    * (sums of integers < 2⁵³ commute), norms/divisions are correctly
+    * rounded IEEE in both engines, and round() is half-away-from-zero
+    * in both — the result is bit-deterministic across engines. The
+    * spec additionally asserts top-k recall against ssCosineTopK. */
   def ssQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -144,6 +147,20 @@ object Similarity {
         |      ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
         |               c.vec_id) AS rn
         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "ss_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q8 AS (SELECT vec_id, list_transform(v, x -> round(x * 127.0 / amax)) AS q
+        |       FROM (SELECT vec_id, v,
+        |               greatest(list_max(v), -list_min(v), 1e-30) AS amax FROM e))
+        |SELECT q_id, cand_id, cos_q, rn FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(q.q, c.q), 4) AS cos_q,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.q, c.q), 4) DESC,
+        |               c.vec_id) AS rn
+        |  FROM q8 q JOIN q8 c ON q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
   )
 }

@@ -160,6 +160,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment (90/5/5) by hashed
+    * bucketing — the standard leakage-safe split of a training corpus:
+    * membership is a pure function of doc_id (stable under corpus
+    * growth and re-runs, no global coordination), and the md5-prefix
+    * bucket is engine-independent so the DuckDB oracle computes the
+    * identical assignment. One narrow projection, no shuffle. */
+  def taSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Deterministic global shuffle: a pseudo-random but reproducible
+    * permutation (ORDER BY keyed hash) — the pre-training epoch shuffle.
+    * The contiguous position comes from zipWithIndex over a
+    * range-partitioned sort, not a single-partition window, so the
+    * shuffle is one range exchange at any corpus size. */
+  def taShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(concat(lit("shuffle:"), col("doc_id"))).as("k"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+    val indexed = keyed.select("doc_id").rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row(i + 1, r.getLong(0))
+    }
+    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType))))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens"      -> taTokens _,
     "ta_quality"     -> taQuality _,
@@ -168,6 +205,8 @@ object TextAnalysis {
     "ta_bm25"        -> taBm25 _,
     "ta_pack"        -> taPack _,
     "ta_scrub"       -> taScrub _,
+    "ta_split"       -> taSplit _,
+    "ta_shuffle"     -> taShuffle _,
   )
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -279,5 +318,18 @@ object TextAnalysis {
         |        regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "ta_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+        |          % 100 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "ta_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5('shuffle:' || doc_id), doc_id) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
   )
 }

@@ -60,6 +60,22 @@ class PipelineService(
                 (if (p.enumVals.nonEmpty)
                   Some("enum" -> PArr(p.enumVals.map(PStr(_)))) else None)))))))
           respond(ex, 200, Json.render(PArr(blocks)))
+        case ("GET", List("workers")) =>
+          // The reference lists mDNS-discovered peer workers
+          // (api/server.go:267-269, types/mdns.go:85-114). Spark owns
+          // placement (E15 drop), so the live executor topology IS the
+          // worker pool — served in the same spirit: host, capacity,
+          // current load.
+          val tracker = conf.spark.sparkContext.statusTracker
+          val workers = tracker.getExecutorInfos.toSeq.map(e => PObj(Map(
+            "host" -> PStr(e.host),
+            "port" -> PInt(e.port.toLong),
+            "cache_memory_bytes" -> PInt(e.cacheSize),
+            "running_tasks" -> PInt(e.numRunningTasks.toLong),
+            "available" -> PBool(true))))
+          respond(ex, 200, Json.render(PArr(workers)))
+        case ("GET", List("swagger")) =>
+          respond(ex, 200, Json.render(openApiDoc))
         case ("GET", List("pipelines")) =>
           respond(ex, 200, Json.render(PArr(specs.map(describe))))
         case ("GET", List("pipelines", slug)) =>
@@ -219,6 +235,41 @@ class PipelineService(
       Runner.StartInput(blockSlug, fieldInputs ++ fileInputs, targetIndex,
         form.get("block.destination_slug").flatMap(_.headOption).getOrElse("")),
       form.get("pipeline.processing_id").flatMap(_.headOption).getOrElse("")))
+  }
+
+  /** OpenAPI 3.0 description of the served routes (the reference mounts
+    * swagger at api/server.go:297-302; we serve the document itself). */
+  private lazy val openApiDoc: PValue = {
+    def op(summary: String, params: Seq[String] = Nil): PObj = PObj(Map(
+      "summary" -> PStr(summary),
+      "parameters" -> PArr(params.map(p => PObj(Map(
+        "name" -> PStr(p), "in" -> PStr("path"),
+        "required" -> PBool(true),
+        "schema" -> PObj(Map("type" -> PStr("string")))))))))
+    PObj(Map(
+      "openapi" -> PStr("3.0.3"),
+      "info" -> PObj(Map(
+        "title" -> PStr("graft pipeline engine"),
+        "version" -> PStr("1.0"))),
+      "paths" -> PObj(Map(
+        "/health" -> PObj(Map("get" -> op("Liveness probe"))),
+        "/blocks" -> PObj(Map("get" -> op("All block types with input schemas"))),
+        "/workers" -> PObj(Map("get" -> op("Live executor topology"))),
+        "/pipelines" -> PObj(Map("get" -> op("Registered pipelines"))),
+        "/pipelines/{slug}" -> PObj(Map(
+          "get" -> op("One pipeline's spec", Seq("slug")))),
+        "/pipelines/{slug}/processings" -> PObj(Map(
+          "get" -> op("Processings with latest status", Seq("slug")))),
+        "/pipelines/{slug}/processings/{id}" -> PObj(Map(
+          "get" -> op("Latest status + run ledger", Seq("slug", "id")))),
+        "/pipelines/{slug}/processings/{id}/{logId}" -> PObj(Map(
+          "get" -> op("One historical run ledger", Seq("slug", "id", "logId")))),
+        "/pipelines/{slug}/start" -> PObj(Map(
+          "post" -> op("Start a processing (JSON or multipart/form-data)",
+            Seq("slug")))),
+        "/pipelines/{slug}/resume" -> PObj(Map(
+          "post" -> op("Resume from a block (JSON or multipart/form-data)",
+            Seq("slug"))))))))
   }
 
   private def typeName(t: PType): String = t match {

@@ -53,6 +53,20 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(mm.select(reference).collect()(0).isNullAt(0))
   }
 
+  test("SortedOverlap equals size(array_intersect) on distinct sorted arrays") {
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Nil, Nil), (Seq(1L), Nil), (Seq(1L, 5L, 9L), Seq(1L, 5L, 9L)),
+      (Seq(-9L, -2L, 0L, 7L), Seq(-2L, 7L, 8L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)))
+    val df = cases.toDF("a", "b")
+    df.select(
+        VectorOps.sortedOverlap(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect().foreach(r =>
+        assert(r.getInt(0) == r.getInt(1), s"${r.getInt(0)} != ${r.getInt(1)}"))
+  }
+
   test("rolling_hash codegen and interpreted paths agree") {
     // force the interpreted path via eval on a literal, codegen via df
     val samples = Seq("", "a", "hello world", "ü-umlaut €", "x" * 10000)

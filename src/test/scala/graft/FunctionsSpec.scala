@@ -100,4 +100,41 @@ class FunctionsSpec extends AnyFunSuite {
       assert(members.length >= 2)
     }
   }
+
+  test("near-dup clusters are closed over the pair graph, labeled by min") {
+    val pairs = Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.ddCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is clustered, and both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the label is the component's min member; sizes are consistent
+    clusters.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+      assert(members.values.forall(_._2 == members.size))
+      assert(members.size >= 2)
+    }
+  }
+
+  test("hash split is deterministic with ~90/5/5 fractions, shuffle is a permutation") {
+    import org.apache.spark.sql.functions.col
+    val split = TextAnalysis.taSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = split.size.toDouble
+    val train = split.values.count(_ == "train") / n
+    assert(train > 0.8 && train < 0.97, s"train fraction $train")
+    // stable across invocations (pure function of doc_id)
+    val again = TextAnalysis.taSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split == again)
+
+    val sh = TextAnalysis.taShuffle(spark, sf).collect()
+    assert(sh.map(_.getLong(0)).toSeq == (1L to sh.length.toLong))
+    assert(sh.map(_.getLong(1)).toSet == split.keySet) // a permutation
+    // and not the identity order (it actually shuffles)
+    assert(sh.map(_.getLong(1)).toSeq != sh.map(_.getLong(1)).toSeq.sorted)
+  }
 }

@@ -55,6 +55,16 @@ class ApiSpec extends AnyFunSuite {
       assert(blocks.contains(""""input_schema""""))
       assert(blocks.contains(""""enum""""))
 
+      // /workers: Spark executor topology in the reference's worker shape
+      val (wc, workers) = get(port, "/workers")
+      assert(wc == 200 && workers.contains(""""host""""))
+      assert(workers.contains(""""running_tasks""""))
+
+      // /swagger: OpenAPI doc covering every served route
+      val (sgc, swagger) = get(port, "/swagger")
+      assert(sgc == 200 && swagger.contains(""""openapi""""))
+      assert(swagger.contains("/pipelines/{slug}/processings/{id}/{logId}"))
+
       val (pc, pipelines) = get(port, "/pipelines")
       assert(pc == 200 && pipelines.contains(""""slug":"api-pipe""""))
       assert(get(port, "/pipelines/nope")._1 == 404)
