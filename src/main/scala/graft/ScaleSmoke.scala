@@ -50,6 +50,7 @@ object ScaleSmoke {
     time("dd_exact")(Dedup.ddExact(spark, big).count())
     time("dd_ngram_jaccard")(Dedup.ddNgramJaccard(spark, big).count())
     time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
+    time("dd_cluster")(Dedup.ddCluster(spark, big).count())
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
     time("ta_bm25")(TextAnalysis.taBm25(spark, big).count())
     time("ta_fingerprint")(TextAnalysis.taFingerprint(spark, big).count())

@@ -218,7 +218,11 @@ object Dedup {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
-    e.alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+    // the left side is repartitioned by CPU count: the nested-loop join
+    // does O(N) dot products per input row, so scan-bytes-sized
+    // parallelism (one ~task for a 20 MB file) would serialize it
+    e.repartition(spark.sparkContext.defaultParallelism)
+      .alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
           .as("cos"))

@@ -21,6 +21,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Spread a compute-dense frame across the cluster before a heavy
+    * per-row stage. Scan parallelism follows input BYTES
+    * (maxPartitionBytes), but a broadcast-join fan-out does dims×probes
+    * work per input byte — a 20 MB embeddings file otherwise becomes a
+    * single task doing millions of dot products (measured: 27 s in one
+    * task vs ~1 s spread). The repartition is a tiny shuffle of the
+    * compact source rows; on a big cluster with naturally parallel
+    * scans it is a cheap rebalance that also defuses few-large-files
+    * skew. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // Codegen'd primitives (graft.functions.DotF64) — identical fp
   // summation order to the aggregate/zip_with formulation they replace.
   private def norm(v: Column): Column = VectorOps.l2norm(v)
@@ -34,7 +46,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cand = e.where(col("vec_id") >= 5)
+    val cand = spread(e.where(col("vec_id") >= 5))
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
@@ -63,18 +75,27 @@ object Similarity {
     val cents = e.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-    // Assign every vector to its nearest centroid (cosine, ties → min c_id).
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.join(broadcast(cents))
+    // Assign every vector to its nearest centroid (cosine, ties → min
+    // c_id). min_by with a (−cos, c_id) key is a hash aggregate with
+    // map-side partial combine — the N×√N scored stream collapses to N
+    // compact rows before the shuffle; the previous row_number window
+    // shuffled and SORTED all N×√N rows. first() is safe: v/nrm are
+    // constant within a vec_id group.
+    val assigned = spread(e).join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("c_id"),
+          struct(negate(col("c_cos")).as("nc"), col("c_id"))).as("cluster"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
 
-    // Each query probes its nprobe nearest centroids.
-    val q = assigned.where(col("vec_id") < 5)
+    // Each query probes its nprobe nearest centroids. Query vectors come
+    // straight from `e` (they need no cluster assignment), so `assigned`
+    // is referenced exactly once below and the N×√N scoring runs once —
+    // deriving q from `assigned` silently recomputed the whole
+    // assignment a second time.
+    val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // nprobe = 12: the probed fraction is nprobe/√N, so the per-query
     // scan SHRINKS as the corpus grows; 12 holds recall ≥ 0.8 on the
@@ -120,7 +141,7 @@ object Similarity {
       .withColumn("qn", norm(col("q")))
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("qn").as("qqn"))
-    val cand = e.where(col("vec_id") >= 5)
+    val cand = spread(e.where(col("vec_id") >= 5))
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("q")) / (col("qqn") * col("qn")), 4).as("cos_q"))
