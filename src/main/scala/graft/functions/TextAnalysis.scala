@@ -197,7 +197,30 @@ object TextAnalysis {
       .orderBy("pos")
   }
 
+  /** Mixture sampling: deterministic per-source downsampling to a
+    * target mixture (the data-mixing step of pretraining corpus
+    * assembly — e.g. keep all of a high-quality source, 40% of a noisy
+    * one). Membership = hashed bucket < source weight, so the sample is
+    * reproducible, leakage-free (independent of the split hash domain)
+    * and needs no global coordination — one scan, no shuffle, any
+    * corpus size. Unlisted sources keep the default weight. */
+  def taMixture(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Map("src0" -> 100, "src1" -> 40, "src2" -> 40, "src3" -> 10)
+    val defaultPct = 75
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"), pct.as("keep_pct"))
+      .where(col("bucket") < col("keep_pct"))
+      .select("doc_id", "source", "keep_pct")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_mixture"     -> taMixture _,
     "ta_tokens"      -> taTokens _,
     "ta_quality"     -> taQuality _,
     "ta_langid"      -> taLangId _,
@@ -331,5 +354,15 @@ object TextAnalysis {
       """SELECT row_number() OVER (
         |    ORDER BY md5('shuffle:' || doc_id), doc_id) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "ta_mixture" ->
+      """SELECT doc_id, source, keep_pct FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('mix:' || doc_id), 1, 8)) AS BIGINT)
+        |      % 100 AS bucket,
+        |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 40
+        |                WHEN 'src2' THEN 40 WHEN 'src3' THEN 10
+        |                ELSE 75 END AS keep_pct
+        |  FROM documents)
+        |WHERE bucket < keep_pct ORDER BY doc_id""".stripMargin,
   )
 }

@@ -119,6 +119,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling hits each source's keep fraction deterministically") {
+    val kept = TextAnalysis.taMixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(kept.nonEmpty)
+    // src0 keeps everything; src3 keeps ~10%; fractions within tolerance
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val total = Tables.t(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == total("src0"), "src0 must keep 100%")
+    val src3Frac = bySource.getOrElse("src3", 0).toDouble / total("src3")
+    assert(src3Frac <= 0.5, s"src3 keeps $src3Frac, target 0.10")
+    // stable across invocations
+    val again = TextAnalysis.taMixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(kept.toSeq == again.toSeq)
+  }
+
   test("hash split is deterministic with ~90/5/5 fractions, shuffle is a permutation") {
     import org.apache.spark.sql.functions.col
     val split = TextAnalysis.taSplit(spark, sf).collect()
