@@ -77,4 +77,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("compute-dense embedding stages are repartitioned past scan-size parallelism") {
+    // a small-on-disk embeddings table must NOT serialize the
+    // dot-product fan-out into one scan-sized task: the heavy joins
+    // sit above an explicit round-robin exchange
+    Seq(graft.functions.Similarity.ssIvfTopK(spark, sf),
+        graft.functions.Similarity.ssQuantizedTopK(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("RoundRobinPartitioning"), plan.take(3000))
+    }
+  }
+
+  test("IVF centroid assignment is a partial-aggregating min_by, not a sort window") {
+    val plan = planOf(graft.functions.Similarity.ssIvfTopK(spark, sf))
+    assert(plan.contains("min_by"), plan.take(3000))
+    // partial aggregate collapses the N x sqrt(N) scored stream before
+    // the shuffle; the old row_number window sorted all of it
+    assert("partial_min_by".r.findAllIn(plan).nonEmpty, plan.take(3000))
+  }
 }
