@@ -264,11 +264,17 @@ object Dedup {
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = ddNgramJaccard(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // both edge directions from ONE pass over the pair subtree (a
+    // union of two selects would recompute the whole dedup DAG twice)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 0 fused into the init: label = min(self, neighbors)
+    var labels = edges
+      .groupBy(col("doc_a").as("node"))
+      .agg(least(first(col("doc_a")), min(col("doc_b"))).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
