@@ -69,9 +69,10 @@ object BulkRunner {
       }
 
       val litRow: Map[String, PValue] = blockSpec.input
-      val in: DataFrame =
-        if (propFrames.isEmpty) conf.spark.range(1).select(lit(0).as("idx"))
-        else Wiring.zipByIdx(propFrames)
+      val (in: DataFrame, zipCleanup: (() => Unit)) =
+        if (propFrames.isEmpty)
+          (conf.spark.range(1).select(lit(0).as("idx")), () => ())
+        else Wiring.zipByIdxWithCleanup(propFrames)
 
       def typedCol(name: String): Column = {
         val present = propFrames.contains(name)
@@ -93,6 +94,9 @@ object BulkRunner {
         case Some(root) =>
           val path = s"$root/${spec.slug}/${blockSpec.slug}"
           out.write.mode("overwrite").parquet(path)
+          // the parquet checkpoint cuts the lineage, so the zip's
+          // interned property frames can be released now
+          zipCleanup()
           conf.spark.read.parquet(path)
         case None => out
       }

@@ -223,7 +223,15 @@ object Wiring {
     * runs off the persisted data (the previous version counted each
     * frame up to three times, recomputing upstream lineage per count).
     */
-  def zipByIdx(properties: Map[String, DataFrame]): DataFrame = {
+  def zipByIdx(properties: Map[String, DataFrame]): DataFrame =
+    zipByIdxWithCleanup(properties)._1
+
+  /** [[zipByIdx]] plus a cleanup thunk that unpersists the interned
+    * property frames — call it once the zipped stage has been
+    * materialized (e.g. checkpointed to parquet), so a long pipeline
+    * does not accumulate one cached frame per wired property. */
+  def zipByIdxWithCleanup(
+      properties: Map[String, DataFrame]): (DataFrame, () => Unit) = {
     require(properties.nonEmpty)
     val renamed = properties.map { case (name, df) =>
       name -> df.select(col("idx"), col("value").as(name))
@@ -232,7 +240,7 @@ object Wiring {
     val counts = renamed.map { case (name, df) => name -> df.count() }
     val maxRows = counts.values.max
     val spine = renamed(counts.find(_._2 == maxRows).get._1).select("idx")
-    renamed.map { case (name, df) =>
+    val zipped = renamed.map { case (name, df) =>
       counts(name) match {
         case n if n == maxRows => df
         case 1L =>
@@ -247,5 +255,6 @@ object Wiring {
       }
     }.reduce((a, b) => a.join(b, Seq("idx"), "inner"))
       .orderBy("idx")
+    (zipped, () => renamed.values.foreach(_.unpersist(false)))
   }
 }
