@@ -53,6 +53,45 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("executors agree on a misaligned two-origin zip (inherit rule)") {
+    // a 4-way text fan-out zipped with a 2-way mark fan-out: positions
+    // past the shorter stream inherit its last value (MergeMaps
+    // block.go:404-500) — both executors must produce the same rows
+    val texts =
+      """{"segments":[{"text":"aa x"},{"text":"bb x"},{"text":"cc x"},{"text":"dd x"}]}"""
+    val marks = """{"marks":[{"m":"aa"},{"m":"bb"}]}"""
+    val spec = PipelineSpec("misaligned", "t", "d", Seq(
+      BlockSpec("upload_file", "src", "carry the four-segment transcription",
+        input = Map("file" -> PStr(texts))),
+      BlockSpec("upload_file", "src2", "carry the two-mark json document",
+        input = Map("file" -> PStr(marks))),
+      BlockSpec("text_replace", "repl", "replace the wired mark per segment",
+        input = Map("new" -> PStr("ZZ")),
+        inputConfig = Some(InputConfig(isArray = true, property =
+          scala.collection.immutable.ListMap(
+            "text" -> PropertyWiring("src", Some("$.segments[*].text")),
+            "old" -> PropertyWiring("src2", Some("$.marks[*].m")))))),
+      BlockSpec("join_strings", "join", "join the replaced segments",
+        input = Map("separator" -> PStr("|")),
+        inputConfig = Some(InputConfig(property = Map(
+          "strings" -> PropertyWiring("repl", arrayInput = true)))))))
+
+    val ctrl = Runner.process(spec, Runner.StartInput(),
+      Runner.RunConfig(spark, registry,
+        new CheckpointStore(java.nio.file.Files
+          .createTempDirectory("misaligned").toString), Clients.mockCtx()))
+    assert(ctrl.status == Runner.Completed, ctrl.status.toString)
+    val ctrlJoin = new String(ctrl.outputs("join").head._2, "UTF-8")
+
+    val bulk = BulkRunner.run(spec, Map.empty,
+      BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+    val bulkJoin = new String(
+      bulk("join").collect()(0).getAs[Array[Byte]]("value"), "UTF-8")
+    assert(bulkJoin == ctrlJoin, s"divergence: bulk=$bulkJoin ctrl=$ctrlJoin")
+    // rows 2-3 inherited mark "bb", which only matches row 1's text
+    assert(ctrlJoin == "ZZ x|ZZ x|cc x|dd x", ctrlJoin)
+  }
+
   test("JsonPathExtract agrees with get_json_object on scalar paths") {
     val dir = SparkTestSession.sf
     val events = graft.Tables.t(spark, dir, "events")
