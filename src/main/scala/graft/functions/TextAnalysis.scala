@@ -219,7 +219,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition (the Gopher-family quality filter):
+    * fraction of duplicated 3-grams, as exact integer basis points.
+    * total = n_tokens − 2 positions, distinct = |shingle set| — so the
+    * score is a pure projection over the existing shingle expression,
+    * one scan, no shuffle, no floats beyond one IEEE division. */
+  def taRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - 2, lit(1)).cast("long").as("total_3grams"),
+        size(Dedup.shingles(col("text"))).cast("long").as("distinct_3grams"))
+      .withColumn("dup_bp", floor(
+        (col("total_3grams") - col("distinct_3grams")) * 10000
+          / col("total_3grams")).cast("long"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition"  -> taRepetition _,
     "ta_mixture"     -> taMixture _,
     "ta_tokens"      -> taTokens _,
     "ta_quality"     -> taQuality _,
@@ -354,6 +370,18 @@ object TextAnalysis {
       """SELECT row_number() OVER (
         |    ORDER BY md5('shuffle:' || doc_id), doc_id) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "ta_repetition" ->
+      """SELECT doc_id, total_3grams, distinct_3grams,
+        |  CAST(floor((total_3grams - distinct_3grams) * 10000
+        |    / total_3grams) AS BIGINT) AS dup_bp
+        |FROM (SELECT doc_id,
+        |        greatest(len(tk) - 2, 1) AS total_3grams,
+        |        len(list_distinct(list_transform(
+        |          generate_series(1, greatest(len(tk)-2, 1)),
+        |          i -> array_to_string(tk[i:i+2],' ')))) AS distinct_3grams
+        |      FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "ta_mixture" ->
       """SELECT doc_id, source, keep_pct FROM (
         |  SELECT doc_id, source,
