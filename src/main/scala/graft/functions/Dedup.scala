@@ -164,11 +164,25 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard over the shingle sets.
-    val withSets = cand
+    // Two-tier candidate verification (same shape as ddNgramJaccard):
+    // a codegen'd merge scan over pre-sorted hash arrays filters the
+    // band candidates (collisions only ADD pairs), then the exact
+    // string arrays score the survivors — collision-proof output.
+    val hsh = docs.withColumn("n", size(col("shs")))
+      .select(col("doc_id"), col("n"),
+        array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
+    val tier1 = cand
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
+      .where(round(col("shared") /
+        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
+      .select("doc_a", "doc_b")
+    tier1
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-    withSets
       .withColumn("jaccard", round(
         size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb"))).cast("double"), 4))
