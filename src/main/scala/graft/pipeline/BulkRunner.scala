@@ -134,32 +134,41 @@ object BulkRunner {
       // generic Distributed block: mapPartitions, rows streamed through
       // the op. Columns stay typed by the prop's schema type — a TFile
       // prop travels as BinaryType end-to-end (a string round-trip would
-      // silently corrupt non-UTF8 payloads like PNG/MP3), everything
-      // else as string re-cast by PropSpec.castTo (so an int prop
-      // arrives as PInt, not a stringly-typed PStr).
+      // silently corrupt non-UTF8 payloads like PNG/MP3), an array prop
+      // as array<binary>/array<string> (so join_videos' fan-in arrives
+      // as a real PArr), everything else as string re-cast by
+      // PropSpec.castTo (so an int prop arrives as PInt, not a
+      // stringly-typed PStr).
       val ctx = conf.ctx
-      val props = op.props.filterNot(_.typ.isInstanceOf[TArr])
+      val props = op.props
       val propCols = props.map { p =>
         val c = p.typ match {
           case TFile =>
             if (in.columns.contains(p.name))
               coalesce(col(p.name).cast("binary"), typedCol(p.name).cast("binary"))
             else typedCol(p.name).cast("binary")
+          case TArr(TFile) =>
+            // fan-in of binary stage values: keep the bytes as bytes
+            if (in.columns.contains(p.name)) col(p.name).cast("array<binary>")
+            else lit(null).cast("array<binary>")
           case _ => typedCol(p.name)
         }
         c.as(p.name)
       }
       val ds = in.select((col("idx").cast("int").as("idx") +: propCols): _*)
-      import org.apache.spark.sql.Encoders
-      val enc = Encoders.tuple(Encoders.scalaInt, Encoders.BINARY)
       val slug = blockSpec.slug
-      normalize(ds.mapPartitions { rows =>
+      import conf.spark.implicits._
+      val raw = ds.mapPartitions { rows =>
         rows.map { r =>
           val m = props.zipWithIndex.flatMap { case (p, i) =>
             Option(r.get(i + 1)).map { v =>
               val raw: PValue = v match {
                 case b: Array[Byte] => PBytes(b)
-                case s              => PStr(s.toString)
+                case xs: scala.collection.Seq[_] => PArr(xs.map {
+                  case b: Array[Byte] => PBytes(b)
+                  case x              => PStr(String.valueOf(x))
+                }.toSeq)
+                case s => PStr(s.toString)
               }
               p.name -> p.cast(raw)
             }
@@ -167,8 +176,38 @@ object BulkRunner {
           val prepared = op.prepare(m).fold(
             e => throw new IllegalArgumentException(s"$slug: $e"), identity)
           val res = op.process(InputRow(r.getInt(0), prepared), ctx)
-          (r.getInt(0), res.outputs.headOption.getOrElse(Array.empty[Byte]))
+          (r.getInt(0), res.outputs)
         }
-      }(enc).toDF("idx", "value"))
+      }.toDF("src_idx", "outs")
+      // E13 at frame scale (Runner.scala's sortedResults loop): fan-out
+      // mode keeps output[0] at the input index; otherwise every buffer
+      // becomes an independent row, re-indexed contiguously by
+      // (input idx, buffer position) — how audio_chunk's N chunks become
+      // N rows (reference pipeline.go:523-601).
+      if (blockSpec.inputConfig.exists(_.isArray))
+        normalize(raw.select(col("src_idx").as("idx"),
+          coalesce(element_at(col("outs"), 1),
+            lit(Array.empty[Byte])).as("value")))
+      else explodeOutputs(raw)
+  }
+
+  /** Explode per-row output buffers to independent rows with a global
+    * contiguous index — zipWithIndex over a range-partitioned frame,
+    * same pattern as [[Wiring.jsonPathExplode]] (no single-task
+    * `row_number()` window). */
+  private def explodeOutputs(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    val exploded = raw
+      .select(col("src_idx"), posexplode(col("outs")).as(Seq("pos", "value")))
+      .repartitionByRange(col("src_idx"), col("pos"))
+      .sortWithinPartitions("src_idx", "pos")
+    val indexed = exploded.select("value").rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row(i.toInt, r.getAs[Array[Byte]](0))
+    }
+    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType))))
   }
 }

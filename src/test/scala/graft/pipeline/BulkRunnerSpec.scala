@@ -94,6 +94,112 @@ class BulkRunnerSpec extends AnyFunSuite {
     assert(decoded.getWidth == 2 && decoded.getHeight == 2)
   }
 
+  /** Stub ffmpeg: copies -i input to the output path; expands a
+    * segment%03d pattern to three numbered copies (audio_chunk shape). */
+  private def stubFfmpeg(): java.nio.file.Path = {
+    val stub = java.nio.file.Files.createTempFile("ffmpeg-stub", ".sh")
+    java.nio.file.Files.writeString(stub,
+      """#!/bin/bash
+        |if [ "$1" == "-version" ]; then echo stub; exit 0; fi
+        |prev=""; in=""; out=""
+        |for a in "$@"; do
+        |  if [ "$prev" == "-i" ]; then in="$a"; fi
+        |  prev="$a"; out="$a"
+        |done
+        |case "$out" in
+        |  *%03d*) for i in 0 1 2; do cp "$in" "${out/\%03d/00$i}"; done ;;
+        |  *) cp "$in" "$out" ;;
+        |esac
+        |""".stripMargin)
+    stub.toFile.setExecutable(true)
+    stub
+  }
+
+  test("E13 in bulk: audio_chunk's N buffers become N rows, agreeing with the Runner") {
+    val stub = stubFfmpeg()
+    try {
+      // "ID3" prefix passes the block's mp3 MIME gate
+      val audio = "ID3-fake-mp3-payload"
+      val chunkSpec = PipelineSpec("bulk-chunk", "t", "d", Seq(
+        BlockSpec("upload_file", "src", "carry the audio",
+          input = Map("file" -> PStr(audio))),
+        BlockSpec("audio_chunk", "chunks", "split into segments",
+          input = Map("duration" -> PStr("1s"),
+            "ffmpeg_binary" -> PStr(stub.toString)),
+          inputConfig = Some(InputConfig(property = Map(
+            "audio" -> PropertyWiring("src")))))))
+
+      val bulk = BulkRunner.run(chunkSpec, Map.empty,
+        BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+      val bulkChunks = bulk("chunks").orderBy("idx").collect()
+        .map(r => (r.getInt(0), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      assert(bulkChunks.toSeq ==
+        Seq((0, audio), (1, audio), (2, audio)),
+        "each stub segment must be an independent contiguous-idx row")
+
+      val runnerConf = Runner.RunConfig(spark, registry,
+        new CheckpointStore(
+          java.nio.file.Files.createTempDirectory("bulk-chunk-runner").toString),
+        Clients.mockCtx().copy(ffmpegPath = Some(stub.toString)))
+      val report = Runner.process(chunkSpec, Runner.StartInput(), runnerConf)
+      assert(report.status == Runner.Completed)
+      val runnerChunks = report.outputs("chunks").toSeq.sortBy(_._1)
+        .map { case (i, b) => (i, new String(b, "UTF-8")) }
+      assert(runnerChunks == bulkChunks.toSeq,
+        "bulk E13 explode must agree with the control-plane Runner")
+    } finally java.nio.file.Files.delete(stub)
+  }
+
+  test("TArr fan-in reaches the generic path with bytes intact (join_videos)") {
+    // single-video short-circuit: output must be the input BYTES —
+    // non-UTF8, so any string round-trip of the array elements corrupts
+    val img = new java.awt.image.BufferedImage(
+      3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val payload = baos.toByteArray
+    val initial = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0, payload)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType))))
+    val joinSpec = PipelineSpec("bulk-join-one", "t", "d", Seq(
+      BlockSpec("join_videos", "join", "single-video short-circuit",
+        inputConfig = Some(InputConfig(property = Map(
+          "videos" -> PropertyWiring("src", arrayInput = true)))))))
+    val out = BulkRunner.run(joinSpec, Map("src" -> initial),
+      BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+    val got = out("join").collect()(0).getAs[Array[Byte]]("value")
+    assert(got.toSeq == payload.toSeq,
+      "array<binary> fan-in must not round-trip through strings")
+
+    // 3-video concat through the stub: the list file (stub "output")
+    // must reference all three fan-in elements, in order
+    val stub = stubFfmpeg()
+    try {
+      val three = spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(0, "vid-a".getBytes("UTF-8")),
+          org.apache.spark.sql.Row(1, "vid-b".getBytes("UTF-8")),
+          org.apache.spark.sql.Row(2, "vid-c".getBytes("UTF-8"))),
+        initial.schema)
+      val concatSpec = PipelineSpec("bulk-join-three", "t", "d", Seq(
+        BlockSpec("join_videos", "join", "3-way concat via stub",
+          input = Map("ffmpeg_binary" -> PStr(stub.toString)),
+          inputConfig = Some(InputConfig(property = Map(
+            "videos" -> PropertyWiring("src", arrayInput = true)))))))
+      val joined = BulkRunner.run(concatSpec, Map("src" -> three),
+        BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+      val listTxt = new String(
+        joined("join").collect()(0).getAs[Array[Byte]]("value"), "UTF-8")
+      val order = Seq("in_0.mp4", "in_1.mp4", "in_2.mp4").map(listTxt.indexOf)
+      assert(order.forall(_ >= 0) && order == order.sorted,
+        s"concat list must name all three inputs in order: $listTxt")
+    } finally java.nio.file.Files.delete(stub)
+  }
+
   test("a 50k-row stage runs distributed with parquet checkpoints") {
     val n = 50000
     val initial = spark.range(n).select(
