@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -39,6 +38,21 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
 
+  /** Two-phase exact top-k per query: bounded map-side partial top-k
+    * ([[TopKAgg]]), ≤k·tasks rows shuffled, tiny per-q_id merge, then
+    * posexplode back to ranked rows. The previous
+    * `row_number().over(Window.partitionBy("q_id"))` funneled the WHOLE
+    * scored stream into ≤n_queries reducer tasks and fully sorted it —
+    * at 100 TB that is N×queries rows through 5 tasks. Tie-break
+    * (score DESC, cand_id ASC) matches the window ordering exactly. */
+  private def rankTopK(scored: DataFrame, scoreName: String, k: Int = 10): DataFrame =
+    scored.groupBy("q_id")
+      .agg(TopKAgg.topk(col(scoreName), col("cand_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("q_id"), col("s.id").as("cand_id"),
+        col("s.score").as(scoreName), (col("p") + 1).as("rn"))
+      .orderBy("q_id", "rn")
+
   /** Exact brute-force cosine top-10 for query vectors vec_id < 5. */
   def ssCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -50,10 +64,7 @@ object Similarity {
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 10)
-      .orderBy("q_id", "rn")
+    rankTopK(scored, "cos")
   }
 
   /** IVF-bucketed ANN: ~√N deterministic centroids (every ⌈N/√N⌉-th
@@ -100,24 +111,23 @@ object Similarity {
     // nprobe = 12: the probed fraction is nprobe/√N, so the per-query
     // scan SHRINKS as the corpus grows; 12 holds recall ≥ 0.8 on the
     // unclustered synthetic vectors (real embedding corpora cluster,
-    // which only helps IVF).
-    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    // which only helps IVF). Probe selection is the same bounded top-k
+    // aggregate as the final ranking (k=nprobe over √N centroid scores).
     val probes = q.join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("c_cos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .where(col("prn") <= 12)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cluster"))
+      .groupBy("q_id")
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        TopKAgg.topk(col("c_cos"), col("c_id"), 12).as("pk"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(col("pk.id")).as("cluster"))
 
     // Search only the probed buckets.
     val scored = assigned.where(col("vec_id") >= 5)
       .join(broadcast(probes), "cluster")
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 10)
-      .orderBy("q_id", "rn")
+    rankTopK(scored, "cos")
   }
 
   /** Scalar-quantized (int8) cosine top-k: each vector stored as 64
@@ -145,10 +155,7 @@ object Similarity {
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("q")) / (col("qqn") * col("qn")), 4).as("cos_q"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 10)
-      .orderBy("q_id", "rn")
+    rankTopK(scored, "cos_q")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

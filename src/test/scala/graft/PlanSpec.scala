@@ -96,4 +96,19 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle; the old row_number window sorted all of it
     assert("partial_min_by".r.findAllIn(plan).nonEmpty, plan.take(3000))
   }
+
+  test("similarity top-k is a partial-aggregating bounded heap, no window funnel") {
+    // the scored stream must never be fully sorted on a <=n_queries-
+    // cardinality key: that funnels N x queries rows into <=5 tasks.
+    // The two-phase topk aggregate keeps <=k rows per group per map
+    // task (partial_topk before the exchange), so no Window operator
+    // may appear anywhere in these plans.
+    Seq(graft.functions.Similarity.ssCosineTopK(spark, sf),
+        graft.functions.Similarity.ssIvfTopK(spark, sf),
+        graft.functions.Similarity.ssQuantizedTopK(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), plan.take(3000))
+      assert("partial_topk".r.findAllIn(plan).nonEmpty, plan.take(3000))
+    }
+  }
 }
