@@ -22,14 +22,21 @@ object ScaleSmoke {
     // with the copy id, so each copy has its own shingle vocabulary —
     // the corpus GROWS instead of becoming an all-near-dup pathology
     // (same per-shingle document frequency as the original, candidate
-    // pairs scale linearly with the factor).
+    // pairs scale linearly with the factor). Copies k>=1 additionally
+    // get a SHARED five-token boilerplate suffix — a corpus-wide hot
+    // shingle (df ~ 0.95·corpus) that the naive shared-shingle join
+    // would turn into ~df² pair instances; the scale-aware dfCap must
+    // drop it. Unrelated docs share ONLY those ~3 boilerplate shingles
+    // (j « 0.5), so the true pair set is unchanged.
+    val boiler = " legal notice all rights reserved"
     val d = Tables.t(spark, src, "documents")
     val n = d.count()
     d.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("doc_id") + col("copy") * n).as("doc_id"),
         when(col("copy") === 0, col("text"))
-          .otherwise(array_join(transform(split(col("text"), " "),
-            t => concat(lit("v"), col("copy"), lit("·"), t)), " ")).as("text"),
+          .otherwise(concat(array_join(transform(split(col("text"), " "),
+            t => concat(lit("v"), col("copy"), lit("·"), t)), " "),
+            lit(boiler))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
     val e = Tables.t(spark, src, "embeddings")
@@ -41,6 +48,10 @@ object ScaleSmoke {
 
     val docs = spark.read.parquet(s"$big/documents.parquet").count()
     println(s"corpus: $docs documents, ${ne * factor} embeddings (${factor}x sf0.1)")
+    val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
+    println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
+      s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
+        else "cap does not bind"}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
       println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s   rows=$rows")
@@ -54,6 +65,8 @@ object ScaleSmoke {
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
     time("ta_bm25")(TextAnalysis.taBm25(spark, big).count())
     time("ta_fingerprint")(TextAnalysis.taFingerprint(spark, big).count())
+    time("ta_shuffle")(TextAnalysis.taShuffle(spark, big).count())
+    time("ta_pack")(TextAnalysis.taPack(spark, big).count())
     time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
     spark.stop()
   }

@@ -65,8 +65,33 @@ object Dedup {
     * Rarest-first ordering concentrates the join on low-df keys, so the
     * pair-instance stream shrinks superlinearly vs the naive self-join
     * (the df² blowup lives in the hot shingles, which the prefix rarely
-    * touches and `dfCap` hard-bounds). */
-  def ddNgramJaccard(spark: SparkSession, dir: String, dfCap: Int = 100000): DataFrame = {
+    * touches and `dfCap` hard-bounds).
+    *
+    * `dfCap` scales with the corpus: by default 8·√N (N from the parquet
+    * footer — no extra scan), floored at 64. A shingle hotter than k·√N
+    * would emit ≥ k²·N pair instances on its own — super-linear in the
+    * corpus — while carrying no near-dup signal (corpus-wide boilerplate
+    * has df ~ N). The trade is the standard stop-shingle one: a pair
+    * whose shared shingles are ALL hotter than the cap is missed; any
+    * sub-cap shared shingle keeps it reachable, and verification is
+    * exact regardless. A constant cap either binds never (small corpora)
+    * or too late (at 100 TB a df-100k shingle still admits ~10¹⁰ pair
+    * instances). */
+  def ddNgramJaccard(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame =
+    // gate-friendly ordering lives HERE, in the registration-facing
+    // form; composing operators (ddCluster) consume the unordered core
+    // so they never pay a wasted range exchange
+    ddNgramJaccardPairs(spark, dir, dfCap).orderBy("doc_a", "doc_b")
+
+  /** Unordered j ≥ 0.5 pair set — the composable core of
+    * [[ddNgramJaccard]]. */
+  def ddNgramJaccardPairs(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame = {
+    val cap =
+      if (dfCap > 0) dfCap
+      else {
+        val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+        math.max(64L, 8L * math.round(math.sqrt(nDocs.toDouble))).toInt
+      }
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
       .withColumn("n", size(col("shs")))
@@ -75,7 +100,7 @@ object Dedup {
     val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("shStr"))
       .select(col("doc_id"), col("n"), xxhash64(col("shStr")).as("sh"))
     val dfTab = s.groupBy("sh").agg(count(lit(1)).as("df"))
-    val joinable = s.join(dfTab.where(col("df").between(2, dfCap)), "sh")
+    val joinable = s.join(dfTab.where(col("df").between(2, cap)), "sh")
     val byDoc = Window.partitionBy("doc_id")
     val prefix = joinable
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
@@ -120,7 +145,6 @@ object Dedup {
           size(array_union(col("sa"), col("sb"))).cast("double"), 4))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH near-dup detection. Candidates are approximate
@@ -277,7 +301,7 @@ object Dedup {
     * standard Spark shape for connected components). */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = ddNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val pairs = ddNgramJaccardPairs(spark, dir).select("doc_a", "doc_b")
     // both edge directions from ONE pass over the pair subtree (a
     // union of two selects would recompute the whole dedup DAG twice)
     val edges = pairs.select(explode(array(

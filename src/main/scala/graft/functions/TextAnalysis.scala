@@ -142,20 +142,30 @@ object TextAnalysis {
   }
 
   /** Sequence packing: assign documents to fixed token-budget bins
-    * (512 tokens) in doc_id order WITHIN each source shard — the
-    * training-batch packing step of an LLM data pipeline. Running
-    * cumulative token counts partition by `source`, so packing
-    * parallelizes across shards (a global ordering would funnel
-    * everything through one partition — the non-scalable shape). */
-  def taPack(spark: SparkSession, dir: String): DataFrame = {
+    * (512 tokens) in doc_id order WITHIN each (source, sub-shard) —
+    * the training-batch packing step of an LLM data pipeline.
+    *
+    * Packing is inherently sequential per bin stream, so the unit of
+    * parallelism must not be the source alone: a corpus with 4 sources
+    * would pack in exactly 4 tasks no matter the cluster size. Each
+    * document is assigned a deterministic sub-shard (md5-bucket of
+    * doc_id mod `nShards` — a pure function of the row, stable under
+    * corpus growth and engine-independent, so the DuckDB oracle
+    * computes the identical assignment), and the cumulative window
+    * partitions by (source, shard): n_sources × nShards parallel
+    * streams. At 100 TB, raise nShards toward the cluster's task
+    * budget; bins are identified by (source, shard, bin). */
+  def taPack(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
     val cap = 512
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("pack:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % nShards).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
       .withColumn("cum", sum("n_toks").over(w))
-      .select(col("doc_id"), col("source"), col("n_toks"),
+      .select(col("doc_id"), col("source"), col("shard"), col("n_toks"),
         floor((col("cum") - col("n_toks")) / cap).as("bin"))
       .orderBy("doc_id")
   }
@@ -242,7 +252,7 @@ object TextAnalysis {
     "ta_langid"      -> taLangId _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_bm25"        -> taBm25 _,
-    "ta_pack"        -> taPack _,
+    "ta_pack"        -> ((s: SparkSession, d: String) => taPack(s, d)),
     "ta_scrub"       -> taScrub _,
     "ta_split"       -> taSplit _,
     "ta_shuffle"     -> taShuffle _,
@@ -317,12 +327,13 @@ object TextAnalysis {
         |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_pack" ->
-      """SELECT doc_id, source, n_toks,
+      """SELECT doc_id, source, shard, n_toks,
         |  CAST(floor((cum - n_toks) / 512) AS BIGINT) AS bin
-        |FROM (SELECT doc_id, source, n_toks,
-        |        sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |FROM (SELECT doc_id, source, shard, n_toks,
+        |        sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
         |          ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM (SELECT doc_id, source,
+        |              CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
         |              CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_toks
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin,

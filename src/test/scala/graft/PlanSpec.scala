@@ -97,6 +97,15 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_min_by".r.findAllIn(plan).nonEmpty, plan.take(3000))
   }
 
+  test("ta_pack's cumulative window partitions by (source, shard), not source alone") {
+    // packing is sequential per partition stream: with a handful of
+    // sources, partitioning by source alone caps the window stage at
+    // n_sources tasks regardless of cluster size
+    val plan = planOf(graft.functions.TextAnalysis.taPack(spark, sf))
+    val spec = "windowspecdefinition\\(source#\\d+, shard#\\d+L?,".r
+    assert(spec.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("similarity top-k is a partial-aggregating bounded heap, no window funnel") {
     // the scored stream must never be fully sorted on a <=n_queries-
     // cardinality key: that funnels N x queries rows into <=5 tasks.
