@@ -97,6 +97,15 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_min_by".r.findAllIn(plan).nonEmpty, plan.take(3000))
   }
 
+  test("the composable pair core carries no gate ordering (no range exchange)") {
+    // dd_cluster consumes ddNgramJaccardPairs and immediately
+    // reshuffles on doc_id — a trailing ORDER BY in the reusable
+    // operator would pay a wasted global sort; the ordering belongs to
+    // the registration-facing dd_ngram_jaccard only
+    val plan = planOf(graft.functions.Dedup.ddNgramJaccardPairs(spark, sf))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(3000))
+  }
+
   test("ta_pack's cumulative window partitions by (source, shard), not source alone") {
     // packing is sequential per partition stream: with a handful of
     // sources, partitioning by source alone caps the window stage at
