@@ -191,13 +191,16 @@ object Clients {
 
   // ------------------------------------------------------ moderation
   /** One approve/decline/regenerate button press, as parsed back from
-    * the review message (block_send_moderation_telegram.go:56-99). */
+    * the review message (block_send_moderation_telegram.go:56-99).
+    * `callbackId` identifies the Telegram callback query for
+    * acknowledgement (empty for mock-origin updates). */
   case class ModerationUpdate(
       action: String, // approve | decline | regenerate | unknown
       index: Int,
       processingId: String,
       blockSlug: String,
-      regenerateBlockSlug: String = "")
+      regenerateBlockSlug: String = "",
+      callbackId: String = "")
 
   /** Telegram-shaped moderation surface (blocks #23-25). */
   trait ModerationClient extends Serializable {
@@ -257,6 +260,200 @@ object Clients {
     }
   }
 
+  /** Production Telegram [[ModerationClient]] over the public Bot HTTP
+    * API (`https://api.telegram.org/bot<token>/<method>`) — the same
+    * surface the reference drives through tgbotapi
+    * (block_send_moderation_telegram.go:141-259 sendPhoto/sendMessage
+    * with an inline keyboard, block_fetch_moderation_telegram.go:129-233
+    * getUpdates + answerCallbackQuery). Review messages embed
+    * ProcessingId/BlockSlug/Index/RegenerateBlockSlug in the exact
+    * reference text template; button callback data is the shortened
+    * `a:`/`d:`/`r:` action form (:57-59).
+    *
+    * Unconsumed updates stay deliverable: the poll offset is never
+    * advanced on Telegram's side, and consumed callbacks are tracked in
+    * an acknowledged-id set (the reference's acknowledgedCallbacks map,
+    * :23-75) and answered so the button spinner clears.
+    *
+    * Wired purely from explicit settings (see [[fromEnv]]); tests
+    * construct it against an unreachable endpoint and the pure parse
+    * helpers — never the live API. */
+  class TelegramModerationClient(token: String,
+      baseUrl: String = "https://api.telegram.org", timeoutMs: Long = 30000)
+      extends ModerationClient {
+    import TelegramModerationClient._
+
+    @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    private val acked =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    private def call(method: String, contentType: String,
+        body: Array[Byte]): Either[String, PValue] =
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"$baseUrl/bot$token/$method"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Content-Type", contentType)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+          .build()
+        val resp = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        Json.tryParse(new String(resp.body(), "UTF-8")) match {
+          case Some(PObj(m)) if m.get("ok").exists(_ == PBool(true)) =>
+            Right(m.getOrElse("result", PNull))
+          case _ => Left(s"telegram $method: HTTP ${resp.statusCode()} " +
+            new String(resp.body(), "UTF-8").take(300))
+        }
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+    private def callJson(method: String, body: PValue): Either[String, PValue] =
+      call(method, "application/json", Json.render(body).getBytes("UTF-8"))
+
+    /** Photo/video upload: multipart/form-data with the JSON fields
+      * alongside the binary part (the Bot API's file-upload form). */
+    private def callMultipart(method: String, fields: Map[String, String],
+        fileField: String, fileName: String,
+        bytes: Array[Byte]): Either[String, PValue] = {
+      val boundary = s"graft${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val out = new java.io.ByteArrayOutputStream()
+      fields.foreach { case (n, v) =>
+        out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+          s"""name="$n"\r\n\r\n$v\r\n""").getBytes("UTF-8"))
+      }
+      out.write((s"--$boundary\r\nContent-Disposition: form-data; " +
+        s"""name="$fileField"; filename="$fileName"\r\n""" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("UTF-8"))
+      out.write(bytes)
+      out.write(s"\r\n--$boundary--\r\n".getBytes("UTF-8"))
+      call(method, s"multipart/form-data; boundary=$boundary", out.toByteArray)
+    }
+
+    override def available: Boolean =
+      token.nonEmpty && callJson("getMe", PObj(Map.empty)).isRight
+
+    override def sendReview(text: String, image: Option[Array[Byte]],
+        groupId: Long, processingId: String, blockSlug: String, index: Int,
+        regenerateBlockSlug: String,
+        extraDecisions: Map[String, String]): Either[String, String] = {
+      val body = reviewMessage(text, processingId, blockSlug, index,
+        regenerateBlockSlug)
+      val buttons = reviewButtons(index, extraDecisions)
+      val markup = PObj(Map("inline_keyboard" -> PArr(Seq(PArr(buttons)))))
+      val sent = image match {
+        case Some(img) =>
+          callMultipart("sendPhoto", Map(
+            "chat_id" -> groupId.toString, "caption" -> body,
+            "reply_markup" -> Json.render(markup)),
+            "photo", "image.png", img)
+        case None =>
+          callJson("sendMessage", PObj(Map(
+            "chat_id" -> PInt(groupId), "text" -> PStr(body),
+            "reply_markup" -> markup)))
+      }
+      // reference output shape: {"sentMessage": ..., "sentButtons": [...]}
+      sent.map(r => Json.render(PObj(Map(
+        "sentMessage" -> r, "sentButtons" -> PArr(buttons)))))
+    }
+
+    override def fetchUpdates(): Seq[ModerationUpdate] =
+      callJson("getUpdates", PObj(Map("timeout" -> PInt(0L)))) match {
+        case Right(PArr(updates)) =>
+          updates.flatMap(parseUpdate)
+            .filterNot(u => acked.contains(u.callbackId)).toSeq
+        case _ => Nil
+      }
+
+    override def ack(consumed: Seq[ModerationUpdate]): Unit =
+      consumed.filter(_.callbackId.nonEmpty).foreach { u =>
+        acked.add(u.callbackId)
+        // clears the button loading indicator (reference :231-233)
+        callJson("answerCallbackQuery", PObj(Map(
+          "callback_query_id" -> PStr(u.callbackId),
+          "text" -> PStr("Processing..."))))
+      }
+
+    override def sendMessage(text: String, image: Option[Array[Byte]],
+        video: Option[Array[Byte]], groupId: Long,
+        caption: String): Either[String, String] =
+      ((image, video) match {
+        case (Some(img), _) =>
+          callMultipart("sendPhoto", Map(
+            "chat_id" -> groupId.toString, "caption" -> caption),
+            "photo", "image.png", img)
+        case (None, Some(vid)) =>
+          callMultipart("sendVideo", Map(
+            "chat_id" -> groupId.toString, "caption" -> caption),
+            "video", "video.mp4", vid)
+        case _ =>
+          callJson("sendMessage", PObj(Map(
+            "chat_id" -> PInt(groupId),
+            "text" -> (if (caption.isEmpty) PStr(text)
+                       else PStr(s"$text\n$caption")))))
+      }).map(Json.render)
+  }
+
+  object TelegramModerationClient {
+    /** The reference review-message template
+      * (GenerateTelegramReviewMessage, :33-45). */
+    def reviewMessage(text: String, processingId: String, blockSlug: String,
+        index: Int, regenerateBlockSlug: String): String = {
+      val base = s"Please review: $text\nProcessingId: $processingId\n" +
+        s"BlockSlug: $blockSlug\nIndex: $index"
+      if (regenerateBlockSlug.nonEmpty)
+        s"$base\nRegenerateBlockSlug: $regenerateBlockSlug"
+      else base
+    }
+
+    /** Approve/Decline (+ regenerate from extra_decisions) buttons with
+      * shortened `action:index` callback data (:47-49, 57-59). */
+    def reviewButtons(index: Int,
+        extraDecisions: Map[String, String]): Seq[PValue] = {
+      def btn(label: String, action: String) = PObj(Map(
+        "text" -> PStr(label), "callback_data" -> PStr(s"$action:$index")))
+      Seq(btn("Approve", "a"), btn("Decline", "d")) ++
+        extraDecisions.get("regenerate").map(l =>
+          btn(if (l.nonEmpty) l else "Regenerate", "r"))
+    }
+
+    // leftmost-match semantics like the Go regexes (:58-61): the plain
+    // `BlockSlug:` line precedes `RegenerateBlockSlug:` (whose tail
+    // would also match) in the template
+    private val ReProcessing = "ProcessingId: ([^\n]+)".r
+    private val ReSlug = "BlockSlug: ([^\n]+)".r
+    private val ReRegen = "RegenerateBlockSlug: ([^\n]+)".r
+
+    /** One getUpdates entry → decision, if it is a callback press on a
+      * parseable review message (ParseTelegramReviewMessage, :56-99 +
+      * the fetch block's data split, block_fetch_moderation_telegram
+      * .go:160-201). Text messages and foreign callbacks → None. */
+    def parseUpdate(u: PValue): Option[ModerationUpdate] = for {
+      cb <- u match {
+        case PObj(m) => m.get("callback_query")
+        case _       => None
+      }
+      cbm <- Some(cb).collect { case PObj(m) => m }
+      data <- cbm.get("data").map(_.asString)
+      parts = data.split(":", 2)
+      if parts.length == 2 && parts(1).forall(_.isDigit)
+      msg <- cbm.get("message").collect { case PObj(m) => m }
+      body <- msg.get("text").map(_.asString).filter(_.nonEmpty)
+        .orElse(msg.get("caption").map(_.asString)).filter(_.nonEmpty)
+      pid <- ReProcessing.findFirstMatchIn(body).map(_.group(1))
+      slug <- ReSlug.findFirstMatchIn(body).map(_.group(1))
+    } yield ModerationUpdate(
+      action = parts(0) match {
+        case "a" => "approve" case "d" => "decline"
+        case "r" => "regenerate" case _ => "unknown"
+      },
+      index = parts(1).toInt,
+      processingId = pid,
+      blockSlug = slug,
+      regenerateBlockSlug =
+        ReRegen.findFirstMatchIn(body).map(_.group(1)).getOrElse(""),
+      callbackId = cbm.get("id").map(_.asString).getOrElse(""))
+  }
+
   // ------------------------------------------------------------ http
   /** Plain HTTP fetch (block #1: block_http.go:60-121 — only url +
     * method are consumed; non-200 is an error; 30 s timeout). */
@@ -304,16 +501,21 @@ object Clients {
 
   /** Config switch for production runs: a real OpenAI-compatible client
     * when OPENAI_API_KEY is set (endpoint override via OPENAI_BASE_URL
-    * — any compatible server works), mocks otherwise. The test suite
-    * never calls this with a key in the environment; it stays offline. */
+    * — any compatible server works), a real Telegram moderation client
+    * when TELEGRAM_BOT_TOKEN is set (endpoint override via
+    * TELEGRAM_API_BASE_URL), mocks otherwise. The test suite never
+    * calls this with keys in the environment; it stays offline. */
   def fromEnv(env: String => Option[String] = k => sys.env.get(k)): BlockCtx = {
     val llm: LLMClient = env("OPENAI_API_KEY") match {
       case Some(key) if key.nonEmpty => new OpenAIClient(
         env("OPENAI_BASE_URL").getOrElse("https://api.openai.com/v1"), key)
       case _ => new MockLLMClient()
     }
-    BlockCtx(llm = llm,
-      moderation = new MockModerationClient(),
-      http = new JdkHttpClient())
+    val moderation: ModerationClient = env("TELEGRAM_BOT_TOKEN") match {
+      case Some(tok) if tok.nonEmpty => new TelegramModerationClient(tok,
+        env("TELEGRAM_API_BASE_URL").getOrElse("https://api.telegram.org"))
+      case _ => new MockModerationClient()
+    }
+    BlockCtx(llm = llm, moderation = moderation, http = new JdkHttpClient())
   }
 }

@@ -96,4 +96,94 @@ class ClientsSpec extends AnyFunSuite {
     val offline = Clients.fromEnv(_ => None)
     assert(offline.llm.isInstanceOf[Clients.MockLLMClient])
   }
+
+  test("telegram: review message round-trips through a callback press, ack dedups") {
+    var sentBody: PValue = PNull
+    var answered = ""
+    def reviewText(): String = sentBody.asInstanceOf[PObj]
+      .m("text").asString
+    withServer(Map(
+      "/bottok/sendMessage" -> { ex =>
+        sentBody = Json.parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        respond(ex, 200, """{"ok":true,"result":{"message_id":7}}""".getBytes("UTF-8"))
+      },
+      "/bottok/getUpdates" -> { ex =>
+        ex.getRequestBody.readAllBytes()
+        val msg = Json.render(PStr(reviewText()))
+        respond(ex, 200,
+          (s"""{"ok":true,"result":[{"update_id":41,"callback_query":""" +
+            s"""{"id":"cb1","data":"r:2","message":{"text":$msg}}},""" +
+            s"""{"update_id":42,"message":{"text":"not a callback"}}]}""")
+            .getBytes("UTF-8"))
+      },
+      "/bottok/answerCallbackQuery" -> { ex =>
+        val b = Json.parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        answered = b.asInstanceOf[PObj].m("callback_query_id").asString
+        respond(ex, 200, """{"ok":true,"result":true}""".getBytes("UTF-8"))
+      })) { base =>
+      val c = new Clients.TelegramModerationClient("tok", base)
+      val sent = c.sendReview("new clip", None, -100L, "pid-1", "review-stage",
+        2, "make-clip", Map("regenerate" -> "Redo it"))
+      assert(sent.isRight, sent)
+      // reference template + shortened a:/d:/r: callback data
+      assert(reviewText() ==
+        "Please review: new clip\nProcessingId: pid-1\n" +
+        "BlockSlug: review-stage\nIndex: 2\nRegenerateBlockSlug: make-clip")
+      val kb = sentBody.asInstanceOf[PObj].m("reply_markup").asInstanceOf[PObj]
+        .m("inline_keyboard").asSeq.head.asSeq
+      assert(kb.map(b => b.asInstanceOf[PObj].m("callback_data").asString) ==
+        Seq("a:2", "d:2", "r:2"))
+      assert(kb.map(b => b.asInstanceOf[PObj].m("text").asString) ==
+        Seq("Approve", "Decline", "Redo it"))
+
+      val ups = c.fetchUpdates()
+      assert(ups == Seq(Clients.ModerationUpdate("regenerate", 2, "pid-1",
+        "review-stage", "make-clip", "cb1")),
+        "the button press must parse back to a full decision")
+      c.ack(ups)
+      assert(answered == "cb1", "ack must answer the callback query")
+      assert(c.fetchUpdates().isEmpty, "acked callbacks are not redelivered")
+    }
+  }
+
+  test("telegram: photo review and final media messages go out as multipart") {
+    val png = Clients.MockLLMClient.pngBytes("review")
+    var photo: Array[Byte] = Array.empty
+    var caption = ""
+    var videoName = ""
+    withServer(Map(
+      "/bottok/sendPhoto" -> { ex =>
+        val ct = ex.getRequestHeaders.getFirst("Content-Type")
+        val (form, files) = Multipart.formAndFiles(
+          Multipart.parse(ex.getRequestBody.readAllBytes(),
+            Multipart.boundary(ct).get))
+        photo = files("photo"); caption = form("caption").head
+        respond(ex, 200, """{"ok":true,"result":{"message_id":9}}""".getBytes("UTF-8"))
+      },
+      "/bottok/sendVideo" -> { ex =>
+        val ct = ex.getRequestHeaders.getFirst("Content-Type")
+        val (_, files) = Multipart.formAndFiles(
+          Multipart.parse(ex.getRequestBody.readAllBytes(),
+            Multipart.boundary(ct).get))
+        videoName = files.keys.mkString
+        respond(ex, 200, """{"ok":true,"result":{"message_id":10}}""".getBytes("UTF-8"))
+      })) { base =>
+      val c = new Clients.TelegramModerationClient("tok", base)
+      val sent = c.sendReview("clip", Some(png), -1L, "p", "b", 0, "", Map.empty)
+      assert(sent.isRight, sent)
+      assert(photo.toSeq == png.toSeq, "image bytes must ride byte-exact")
+      assert(caption.startsWith("Please review: clip"))
+      val vid = c.sendMessage("", None, Some("vid".getBytes), -1L, "done")
+      assert(vid.isRight && videoName == "video")
+    }
+  }
+
+  test("fromEnv switches telegram client on TELEGRAM_BOT_TOKEN; unreachable = unavailable") {
+    val real = Clients.fromEnv(Map("TELEGRAM_BOT_TOKEN" -> "t",
+      "TELEGRAM_API_BASE_URL" -> "http://127.0.0.1:1").get _)
+    assert(real.moderation.isInstanceOf[Clients.TelegramModerationClient])
+    assert(!real.moderation.available, "connection-refused endpoint is unavailable")
+    assert(Clients.fromEnv(_ => None).moderation
+      .isInstanceOf[Clients.MockModerationClient])
+  }
 }
