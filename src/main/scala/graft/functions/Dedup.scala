@@ -296,9 +296,12 @@ object Dedup {
     * min of its own and its neighbors' labels; converges in
     * O(component diameter) rounds — near-dup clusters are shallow
     * (duplicates of a common ancestor), so this is 2-4 rounds in
-    * practice. Each round is one join + one aggregate, fully
-    * distributed; the driver only checks the convergence count (the
-    * standard Spark shape for connected components). */
+    * practice. Each round is ONE join + ONE aggregate: the aggregate
+    * carries the node's previous label alongside the new min (tagging
+    * the union's own-label rows), so the convergence check is a
+    * filter-count over the already-persisted round output — no second
+    * join re-shuffling the label set (the standard Spark shape for
+    * connected components, minus the usual per-round compare join). */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = ddNgramJaccardPairs(spark, dir).select("doc_a", "doc_b")
@@ -310,22 +313,30 @@ object Dedup {
       .select(col("e.doc_a"), col("e.doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // round 0 fused into the init: label = min(self, neighbors)
-    var labels = edges
+    val init = edges
       .groupBy(col("doc_a").as("node"))
       .agg(least(first(col("doc_a")), min(col("doc_b"))).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // `cached` is the handle whose blocks get released each round;
+    // `labels` is its (node, label) projection feeding the next round
+    var cached = init
+    var labels = init
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("doc_a") === labels("node"))
-        .select(col("doc_b").as("node"), col("label"))
-      val next = labels.select("node", "label").union(prop)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("doc_b").as("node"), col("label"), lit(false).as("own"))
+      val next = labels.select(col("node"), col("label"), lit(true).as("own"))
+        .union(prop)
+        .groupBy("node").agg(
+          min("label").as("label"),
+          // every node contributes exactly one own=true row, so prev is
+          // total and label <= prev by construction
+          min(when(col("own"), col("label"))).as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("label") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("node", "label")
     }
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster"))
