@@ -345,6 +345,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-span detection — the per-document signal
+    * behind substring-level dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * the fraction of its 5-gram spans (counted WITH multiplicity — a
+    * span repeated inside one doc counts each time) that also occur in
+    * at least `minDocs` distinct documents. High `dup_bp` marks
+    * boilerplate-heavy documents to drop or trim before training.
+    *
+    * Shape at 100 TB: span df is one hash-aggregate over (doc, gram)
+    * distinct pairs; the instance stream joins the ≥minDocs gram set on
+    * a fixed-width 60-bit key (first 15 md5 hex chars — the same
+    * derivation on the DuckDB side, so any collision is deterministic
+    * and identical in both engines); per-doc totals come from the token
+    * count, no second pass. Hot boilerplate grams skew the join's build
+    * side only by their df row — instances stay spread across docs. */
+  def ddSpan(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    val base = docs.select(col("doc_id"),
+      greatest(size(col("tk")) - 4, lit(0)).cast("long").as("n_spans"))
+    // guard: sequence(1, n) with n < 1 would DESCEND in Spark
+    val grams = docs
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("g"))
+    val dupGrams = grams.distinct()
+      .groupBy("g").agg(count(lit(1)).as("ddf"))
+      .where(col("ddf") >= minDocs)
+      .select("g")
+    val dupCnt = grams.join(dupGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_cnt"))
+    base.join(dupCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_cnt"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_bp",
+        when(col("n_spans") === 0, 0L)
+          .otherwise(expr("(10000 * n_dup_spans) div n_spans")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster"       -> ddCluster _,
     "dd_decontaminate" -> ddDecontaminate _,
@@ -353,6 +396,7 @@ object Dedup {
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cosine"  -> ddEmbedCosine _,
+    "dd_span"          -> ((s: SparkSession, d: String) => ddSpan(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,5 +496,26 @@ object Dedup {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, vec_a, vec_b LIMIT 40""".stripMargin,
+    "dd_span" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |           FROM documents),
+        |base AS (SELECT doc_id, greatest(len(tk)-4, 0) AS n_spans FROM t),
+        |g AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(gram),1,15)) AS BIGINT) AS g
+        |      FROM (SELECT doc_id, unnest(list_transform(
+        |              generate_series(1, len(tk)-4),
+        |              i -> array_to_string(tk[i:i+4],' '))) AS gram
+        |            FROM t WHERE len(tk) >= 5)),
+        |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ddf
+        |                       FROM g GROUP BY g) WHERE ddf >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_dup_spans
+        |        FROM g JOIN dup USING (g) GROUP BY doc_id)
+        |SELECT doc_id, n_spans,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  CASE WHEN n_spans = 0 THEN 0
+        |       ELSE (10000 * coalesce(n_dup_spans, 0)) // n_spans
+        |  END AS dup_bp
+        |FROM base LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -244,18 +244,94 @@ object TextAnalysis {
           / col("total_3grams")).cast("long"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary statistics — the tokenizer-training prep pass:
+    * term frequency, document frequency, rank, and cumulative coverage
+    * (basis points of all token instances covered by the top-`k` terms
+    * so far). One explode + one hash aggregate over the corpus; the
+    * top-k cut is a TakeOrdered (no global sort of the vocabulary), and
+    * the rank/cumulative window runs over ≤ k rows — bounded by
+    * construction, not by the data. */
+  def taVocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val stats = toks.groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("ddf"))
+    val total = stats.agg(sum(col("tf")).as("total_tf"))
+    val top = stats.orderBy(col("tf").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_bp", expr("(10000 * sum(tf) over " +
+        "(order by tf desc, tok rows unbounded preceding)) div total_tf"))
+      .select("rank", "tok", "tf", "ddf", "cum_bp")
+      .orderBy("rank")
+  }
+
+  /** Hashing-trick linear quality classifier — the fastText-style
+    * score-and-threshold filter of a training-data pipeline, with
+    * deterministic public weights: each token hashes into one of 1024
+    * feature buckets (first 8 md5 hex chars mod 1024) and each bucket
+    * carries an integer weight in [-1000, 1000] derived from
+    * md5("w:" || bucket). The score is a pure integer sum, so the
+    * DuckDB comparison is exact (float sums would differ by
+    * accumulation order); `quality_bp` rescales the mean weight to
+    * [0, 10000] with all-positive integer division (Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — they only
+    * agree on non-negative operands). One scan + one hash aggregate,
+    * fully codegen'd, no shuffle beyond the per-doc combine. */
+  def taQualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 1024
+    val weight = conv(substring(md5(concat(lit("w:"), bucket)), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+    toks.select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("w_sum"))
+      .withColumn("quality_bp",
+        expr("(10000 * (w_sum + 1000 * n_toks)) div (2000 * n_toks)"))
+      .withColumn("label", when(col("w_sum") > 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus report — the per-(source, lang) "corpus card" every
+    * training-data pipeline publishes: document and token counts, char
+    * totals, and the shard's share of the corpus in basis points. One
+    * scan, one small aggregate; the share join broadcasts a single
+    * total row. */
+  def taReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"))
+    val bySrc = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(col("n_chars")).as("total_chars"))
+    val total = bySrc.agg(sum(col("n_docs")).as("corpus_docs"))
+    bySrc.crossJoin(broadcast(total))
+      .withColumn("doc_share_bp", expr("(10000 * n_docs) div corpus_docs"))
+      .select("source", "lang", "n_docs", "total_toks", "total_chars",
+        "doc_share_bp")
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_repetition"  -> taRepetition _,
     "ta_mixture"     -> taMixture _,
     "ta_tokens"      -> taTokens _,
     "ta_quality"     -> taQuality _,
+    "ta_quality_lr"  -> taQualityLr _,
     "ta_langid"      -> taLangId _,
     "ta_fingerprint" -> taFingerprint _,
     "ta_bm25"        -> taBm25 _,
     "ta_pack"        -> ((s: SparkSession, d: String) => taPack(s, d)),
+    "ta_report"      -> taReport _,
     "ta_scrub"       -> taScrub _,
     "ta_split"       -> taSplit _,
     "ta_shuffle"     -> taShuffle _,
+    "ta_vocab"       -> ((s: SparkSession, d: String) => taVocab(s, d)),
   )
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -403,5 +479,44 @@ object TextAnalysis {
         |                ELSE 75 END AS keep_pct
         |  FROM documents)
         |WHERE bucket < keep_pct ORDER BY doc_id""".stripMargin,
+    "ta_vocab" ->
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(string_split_regex(trim(text),'\s+')) AS tok
+        |             FROM documents),
+        |stats AS (SELECT tok, count(*) AS tf,
+        |            count(DISTINCT doc_id) AS ddf
+        |          FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(tf) AS total_tf FROM stats),
+        |top AS (SELECT * FROM stats ORDER BY tf DESC, tok LIMIT 1000)
+        |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank,
+        |  tok, tf, ddf,
+        |  (10000 * sum(tf) OVER (ORDER BY tf DESC, tok
+        |     ROWS UNBOUNDED PRECEDING)) // total_tf AS cum_bp
+        |FROM top, tot ORDER BY rank""".stripMargin,
+    "ta_quality_lr" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('w:' ||
+        |      (CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) % 1024)),
+        |      1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text),'\s+')) AS tok
+        |        FROM documents))
+        |SELECT doc_id, n_toks, w_sum,
+        |  (10000 * (w_sum + 1000 * n_toks)) // (2000 * n_toks) AS quality_bp,
+        |  CASE WHEN w_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM (SELECT doc_id, count(*) AS n_toks, sum(w) AS w_sum
+        |      FROM w GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "ta_report" ->
+      """WITH bysrc AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    sum(len(string_split_regex(trim(text),'\s+'))) AS total_toks,
+        |    sum(length(text)) AS total_chars
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT sum(n_docs) AS corpus_docs FROM bysrc)
+        |SELECT source, lang, n_docs, total_toks, total_chars,
+        |  (10000 * n_docs) // corpus_docs AS doc_share_bp
+        |FROM bysrc, tot ORDER BY source, lang""".stripMargin,
   )
 }

@@ -155,4 +155,66 @@ class FunctionsSpec extends AnyFunSuite {
     // and not the identity order (it actually shuffles)
     assert(sh.map(_.getLong(1)).toSeq != sh.map(_.getLong(1)).toSeq.sorted)
   }
+
+  test("repeated-span fractions are bounded and the corpus has shared spans") {
+    val rows = Dedup.ddSpan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per doc")
+    rows.foreach { case (id, n, dup, bp) =>
+      assert(dup >= 0 && dup <= n, s"doc $id: $dup of $n spans")
+      assert(bp >= 0 && bp <= 10000, s"doc $id: dup_bp $bp")
+      assert(n == 0 || bp == 10000 * dup / n, s"doc $id: bp math")
+    }
+    // planted near-dups share verbatim 5-gram spans
+    assert(rows.exists(_._3 > 0), "no cross-document spans found")
+  }
+
+  test("vocab coverage is monotone and complete when vocab fits the cut") {
+    val rows = TextAnalysis.taVocab(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "contiguous ranks")
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted,
+      "cumulative coverage must be non-decreasing")
+    val tfs = rows.map(_._3)
+    assert(tfs.toSeq == tfs.toSeq.sortBy(-_), "ranked by tf desc")
+    // the synthetic vocabulary is far smaller than the top-1000 cut, so
+    // the final row covers the whole corpus exactly
+    assert(rows.length < 1000 && rows.last._5 == 10000L)
+    rows.foreach { case (_, _, tf, ddf, _) =>
+      assert(ddf >= 1 && ddf <= tf, "df bounded by tf and positive")
+    }
+  }
+
+  test("linear quality scores are deterministic, bounded, and sign-consistent") {
+    val a = TextAnalysis.taQualityLr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val b = TextAnalysis.taQualityLr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(a.toSeq == b.toSeq, "hash-derived weights must be reproducible")
+    a.foreach { case (id, n, s, bp, label) =>
+      assert(n > 0 && s.abs <= 1000 * n, s"doc $id: |w_sum| bound")
+      assert(bp >= 0 && bp <= 10000, s"doc $id: quality_bp $bp")
+      assert(label == (if (s > 0) "keep" else "drop"), s"doc $id label")
+    }
+    // weights are hash-symmetric around 0, so both classes appear
+    assert(a.map(_._5).distinct.length == 2, "degenerate classifier")
+  }
+
+  test("corpus report shards partition the corpus with shares near 10000 bp") {
+    val rows = TextAnalysis.taReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "shard doc counts must partition")
+    val shareSum = rows.map(_._6).sum
+    // each shard share floors individually: sum ∈ (10000 - #shards, 10000]
+    assert(shareSum <= 10000 && shareSum > 10000 - rows.length,
+      s"share sum $shareSum over ${rows.length} shards")
+    rows.foreach { case (src, lang, d, toks, chars, _) =>
+      assert(d > 0 && toks >= d && chars >= toks, s"($src,$lang) magnitudes")
+    }
+  }
 }
