@@ -63,6 +63,8 @@ object ScaleSmoke {
     time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
     time("dd_cluster")(Dedup.ddCluster(spark, big).count())
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
+    time("dd_span")(Dedup.ddSpan(spark, big).count())
+    time("dd_cdc")(Dedup.ddCdc(spark, big).count())
     time("ta_bm25")(TextAnalysis.taBm25(spark, big).count())
     time("ta_fingerprint")(TextAnalysis.taFingerprint(spark, big).count())
     time("ta_shuffle")(TextAnalysis.taShuffle(spark, big).count())

@@ -388,7 +388,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunk dedup (the FastCDC/Rabin family): each
+    * document's token stream is cut where the hash of the trailing
+    * 4-token window ≡ 0 (mod 16) — boundaries depend only on LOCAL
+    * content, so an edit moves at most its neighboring cut and
+    * unchanged regions keep their chunk fingerprints (the property
+    * that makes CDC the crawl-snapshot dedup primitive, unlike
+    * fixed-width spans where one insertion shifts every later span).
+    * Output: per-document chunk count, chunks shared with ≥ 2 distinct
+    * documents, and the duplicated fraction in basis points.
+    *
+    * Shape at 100 TB: chunking is a pure per-row expression (no
+    * shuffle); chunk df is one hash aggregate over (doc, fingerprint)
+    * distinct pairs; the instance join uses the same fixed-width
+    * 60-bit md5 keys as [[ddSpan]]. */
+  def ddCdc(spark: SparkSession, dir: String): DataFrame = {
+    // one-pass native chunker (see CdcChunks scaladoc for why the HOF
+    // formulation was quadratic); every doc yields >= 1 chunk, so the
+    // per-doc chunk count falls out of the same instance aggregation
+    val inst = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(CdcChunks.cdc_chunks(col("text"))).as("chunk"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("g"))
+    val dupChunks = inst.distinct()
+      .groupBy("g").agg(count(lit(1)).as("ddf"))
+      .where(col("ddf") >= 2)
+      .select(col("g"), lit(1L).as("isdup"))
+    inst.join(dupChunks, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_bp", expr("(10000 * n_dup_chunks) div n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cdc"           -> ddCdc _,
     "dd_cluster"       -> ddCluster _,
     "dd_decontaminate" -> ddDecontaminate _,
     "dd_exact"         -> ddExact _,
@@ -515,6 +551,35 @@ object Dedup {
         |  CASE WHEN n_spans = 0 THEN 0
         |       ELSE (10000 * coalesce(n_dup_spans, 0)) // n_spans
         |  END AS dup_bp
+        |FROM base LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dd_cdc" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |           FROM documents),
+        |cutpos AS (SELECT doc_id, tk,
+        |    list_concat(list_concat([0],
+        |      CASE WHEN len(tk) >= 5 THEN
+        |        list_filter(generate_series(4, len(tk)-1),
+        |          i -> CAST(('0x' || substr(md5(
+        |                 array_to_string(tk[i-3:i],' ')),1,8)) AS BIGINT)
+        |               % 16 = 0)
+        |      ELSE [] END), [len(tk)]) AS cuts
+        |  FROM t),
+        |chunked AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(cuts)-1),
+        |      j -> array_to_string(tk[cuts[j]+1:cuts[j+1]],' ')) AS chunks
+        |  FROM cutpos),
+        |base AS (SELECT doc_id, len(chunks) AS n_chunks FROM chunked),
+        |inst AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(chunk),1,15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, unnest(chunks) AS chunk FROM chunked)),
+        |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ddf
+        |                       FROM inst GROUP BY g) WHERE ddf >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_dup_chunks
+        |        FROM inst JOIN dup USING (g) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks,
+        |  coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+        |  (10000 * coalesce(n_dup_chunks, 0)) // n_chunks AS dup_bp
         |FROM base LEFT JOIN cnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
   )

@@ -106,6 +106,43 @@ class ExpressionParitySpec extends AnyFunSuite {
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
   }
 
+  test("CdcChunks equals the filtered-cuts HOF formulation and is edit-local") {
+    import graft.functions.CdcChunks
+    val corpus = Seq(
+      "", " ", "one", "one two three four",
+      "one two three four five",
+      Seq.tabulate(60)(i => s"w$i").mkString(" "),
+      "dup dup dup dup dup dup dup dup dup dup",
+      "  odd   whitespace  doc with\ttabs and  runs  ")
+    val df = corpus.toDF("text")
+    val tk = split(trim(col("text")), "\\s+")
+    val cutsAt = filter(
+      when(size(tk) >= 5, sequence(lit(4), size(tk) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => conv(substring(md5(
+        concat_ws(" ", slice(tk, i - 3, lit(4)))), 1, 8), 16, 10)
+        .cast("long") % 16 === 0)
+    val cuts = concat(array(lit(0)), cutsAt, array(size(tk)))
+    val reference = transform(sequence(lit(1), size(cuts) - 1),
+      j => concat_ws(" ", slice(tk, element_at(cuts, j) + 1,
+        element_at(cuts, j + 1) - element_at(cuts, j))))
+    df.select(CdcChunks.cdc_chunks(col("text")).as("fast"),
+        reference.as("ref")).collect()
+      .zip(corpus).foreach { case (r, text) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"divergence on '$text'")
+      }
+    // the CDC property: appending a suffix re-chunks only the tail —
+    // every chunk that ends 4+ tokens before the edit survives verbatim
+    val base = Seq.tabulate(80)(i => s"t${i * 7 % 13}w$i").mkString(" ")
+    val edited = base + " zzz qqq xxx yyy vvv"
+    val Array(c1, c2) = Seq(base, edited).toDF("text")
+      .select(CdcChunks.cdc_chunks(col("text"))).collect()
+      .map(_.getSeq[String](0))
+    assert(c1.dropRight(1) == c2.take(c1.length - 1),
+      "prefix chunks must survive a suffix edit")
+  }
+
   test("concurrent pipeline runs under distinct processing ids stay isolated") {
     import graft.pipeline._
     val registry = BlockRegistry.standard()

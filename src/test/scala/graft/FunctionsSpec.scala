@@ -169,6 +169,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0), "no cross-document spans found")
   }
 
+  test("cdc chunks are bounded, cover every doc, and find shared chunks") {
+    val rows = Dedup.ddCdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.length == nDocs.toInt, "one row per document")
+    rows.foreach { case (id, n, dup, bp) =>
+      assert(n >= 1, s"doc $id must chunk to >= 1 piece")
+      assert(dup >= 0 && dup <= n && bp >= 0 && bp <= 10000, s"doc $id bounds")
+    }
+    // the corpus plants near-dup docs, which share verbatim chunks
+    assert(rows.exists(_._3 > 0), "no cross-document chunks found")
+    // expected chunk length ~16 tokens => docs average > 1 chunk
+    assert(rows.map(_._2).sum > rows.length, "chunking is degenerate")
+  }
+
   test("vocab coverage is monotone and complete when vocab fits the cut") {
     val rows = TextAnalysis.taVocab(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),

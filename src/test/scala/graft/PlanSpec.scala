@@ -129,4 +129,25 @@ class PlanSpec extends AnyFunSuite {
       assert("partial_topk".r.findAllIn(plan).nonEmpty, plan.take(3000))
     }
   }
+
+  test("dd_span joins instances on the fixed-width key, never cross-joins") {
+    val plan = planOf(graft.functions.Dedup.ddSpan(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the df aggregate must partial-combine before its exchange
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("ta_vocab cuts the vocabulary with TakeOrdered, not a global sort") {
+    val plan = planOf(graft.functions.TextAnalysis.taVocab(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("ta_quality_lr is one scan + one partial-combining aggregate") {
+    val plan = planOf(graft.functions.TextAnalysis.taQualityLr(spark, sf))
+    assert("FileScan".r.findAllIn(plan).length == 1, plan.take(3000))
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
 }
