@@ -13,12 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql.extensions=graft.GraftExtensions   (cluster conf), or
   *   SparkSession.builder.withExtensions(new GraftExtensions)
   *
-  *   SELECT rolling_hash(text), shingles3(text),
-  *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k')
+  *   SELECT rolling_hash(text), shingles3(text), cdc_chunks(text),
+  *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k'),
+  *          minhash32(sh), simhash64(sh)
   *
-  * All four are native `Expression`s (no UDF serialization boundary);
-  * rolling_hash and dot_f64 carry `doGenCode` and stay inside
-  * whole-stage codegen.
+  * All are native `Expression`s / typed aggregates (no UDF
+  * serialization boundary); rolling_hash and dot_f64 carry `doGenCode`
+  * and stay inside whole-stage codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -52,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash64"),
       arity("simhash64", 1)(e =>
         graft.functions.SimHashAgg(e.head).toAggregateExpression())))
+    ext.injectFunction((new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunks].getName, "cdc_chunks"),
+      arity("cdc_chunks", 1)(e => graft.functions.CdcChunks(e.head))))
   }
 }
 

@@ -49,9 +49,12 @@ case class CdcChunks(child: Expression)
         j += 1
       }
       md.reset()
-      val hex = md.digest(win.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      if (java.lang.Long.parseLong(hex, 16) % 16 == 0) cuts += i
+      // first 8 hex chars of the md5 = first 4 digest bytes as an
+      // unsigned 32-bit big-endian int (no hex round-trip)
+      val d = md.digest(win.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (h % 16 == 0) cuts += i
       i += 1
     }
     cuts += n

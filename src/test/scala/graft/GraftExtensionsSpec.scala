@@ -12,13 +12,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT rolling_hash('hello') AS rh,
         |       shingles3('a b c d') AS sh,
         |       dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
-        |       json_path_extract('{"k": 7}', '$.k') AS jp""".stripMargin)
+        |       json_path_extract('{"k": 7}', '$.k') AS jp,
+        |       cdc_chunks('a b c') AS cc""".stripMargin)
       .collect()(0)
     assert(row.getLong(0) ==
       "hello".getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L))
     assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(row.getDouble(2) == 11.0)
     assert(row.getSeq[String](3) == Seq("7"))
+    assert(row.getSeq[String](4) == Seq("a b c")) // < 5 tokens: one chunk
   }
 
   test("wrong arity fails at analysis time, not execution time") {
