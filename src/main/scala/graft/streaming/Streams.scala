@@ -138,4 +138,87 @@ object Streams {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // encoder classes must be public: Spark's generated safe projections
+  // access them from synthesized code outside this object
+  case class BandRow(band_idx: Int, band_hash: Int, doc_id: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming NEAR-dup detection — the incremental form of
+    * `dd_minhash_lsh`: as documents arrive, each one's 32-slot MinHash
+    * signature ([[graft.functions.MinHashRow]], bit-identical to the
+    * batch aggregate) is banded 16×2 with the same band hashes as the
+    * batch plan, and a `flatMapGroupsWithState` stage keyed by
+    * (band_idx, band_hash) emits a candidate pair for every earlier
+    * bucket member the new document collides with. Candidates then
+    * verify EXACTLY against the already-ingested corpus via a
+    * stream-static join (codegen [[graft.functions.VectorOps]] merge
+    * scan, then exact shingle Jaccard — the batch two-tier shape), so
+    * the emitted (doc_a, doc_b, jaccard) rows are true near-dup pairs,
+    * not LSH guesses.
+    *
+    * Emission is at-least-once per pair (a pair colliding in several
+    * bands surfaces once per band key; cross-key dedup would need a
+    * second stateful stage, which streaming cannot chain after
+    * `flatMapGroupsWithState` — consumers dedup on (doc_a, doc_b), and
+    * the spec asserts set-parity with the batch operator).
+    *
+    * Scale: state is one doc-id list per OCCUPIED band bucket —
+    * near-dup buckets are tiny by construction (a hot bucket would mean
+    * the band hash is degenerate), and a production deployment bounds
+    * the horizon with a state TTL the same way [[dedupStream]] leans on
+    * its watermark. */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.{Dedup, MinHashRow, VectorOps}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandsOf = 16
+    val sigs = docs.select(col("doc_id"),
+      MinHashRow.minhash32_row(Dedup.shingles(col("text"))).as("sig"))
+    val bandCols = (0 until bandsOf).map(j =>
+      hash(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2)))
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .as[BandRow]
+    val cands = bands
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Int), rows: Iterator[BandRow], state: GroupState[Seq[Long]]) => {
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen.contains)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var acc = seen
+          fresh.foreach { id =>
+            acc.foreach { other =>
+              if (other != id)
+                out += CandPair(math.min(other, id), math.max(other, id))
+            }
+            acc = acc :+ id
+          }
+          state.update(acc)
+          out.iterator
+        })
+    // exact two-tier verify against the static corpus (stateless joins)
+    val docsStatic = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("shs"))
+    val hsh = docsStatic.withColumn("n", size(col("shs")))
+      .select(col("doc_id"), col("n"),
+        array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
+    cands.toDF()
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
+      .where(round(col("shared") /
+        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
+      .join(docsStatic.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docsStatic.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 }

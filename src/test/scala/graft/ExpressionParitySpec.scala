@@ -106,6 +106,23 @@ class ExpressionParitySpec extends AnyFunSuite {
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
   }
 
+  test("MinHashRow equals the MinHashAgg sketch slot for slot") {
+    import graft.functions.{MinHashRow, ShingleArray}
+    val corpus = Seq("a b c d e f", "one two three", "dup dup dup", "x")
+    val df = corpus.toDF("text")
+      .withColumn("shs", ShingleArray.shingles3(col("text")))
+    val viaRow = df.select(col("text"),
+      MinHashRow.minhash32_row(col("shs")).as("sig")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = df.select(col("text"), explode(col("shs")).as("sh"))
+      .groupBy("text")
+      .agg(graft.functions.MinHashAgg.minhash32(col("sh")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    corpus.foreach { text =>
+      assert(viaRow(text) == viaAgg(text), s"divergence on '$text'")
+    }
+  }
+
   test("CdcChunks equals the filtered-cuts HOF formulation and is edit-local") {
     import graft.functions.CdcChunks
     val corpus = Seq(

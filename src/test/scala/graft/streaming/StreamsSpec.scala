@@ -135,4 +135,31 @@ class StreamsSpec extends AnyFunSuite {
       assert(total == expected)
     } finally q.stop()
   }
+
+  test("streaming near-dup pairs equal the batch MinHash-LSH operator") {
+    import StreamsSpec.Doc
+    val sf = SparkTestSession.sf
+    val corpus = graft.Tables.t(spark, sf, "documents")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(r.getLong(0)), r.getString(1)))
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus)
+    val q = out.writeStream.format("memory").queryName("near_dup")
+      .outputMode("append").start()
+    try {
+      // three arrival waves: pairs split across batches must still
+      // surface (state carries the earlier bucket members)
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("near_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty, "corpus should contain planted near-dups")
+      assert(streamed == batch,
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally q.stop()
+  }
 }
