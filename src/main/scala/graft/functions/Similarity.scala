@@ -158,13 +158,51 @@ object Similarity {
     rankTopK(scored, "cos_q")
   }
 
+  /** Per-label embedding centroids — the domain-level aggregation
+    * behind corpus clustering and mixture balancing: mean vector per
+    * label, emitted long-form (label, dim, n_vecs, centroid_micro).
+    *
+    * Sums run over integer micro-units (round(v·10⁶) as BIGINT), so the
+    * distributed aggregation is EXACT regardless of combine order —
+    * float sums would differ between Spark's partial-agg tree and
+    * DuckDB's sequential fold. Shape: posexplode fan-out (N×dims rows)
+    * into one hash aggregate with map-side combine; no shuffle wider
+    * than (label, dim) keys. */
+  def ssCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(asDouble(col("embedding")))
+        .as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).as("dim"),
+        round(col("v") * 1e6).cast("long").as("vmicro"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vmicro")).as("sum_micro"))
+      .withColumn("centroid_micro", expr(
+        "CASE WHEN sum_micro >= 0 THEN sum_micro div n_vecs " +
+          "ELSE -((-sum_micro) div n_vecs) END"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_centroids"      -> ssCentroids _,
     "ss_cosine_topk"    -> ssCosineTopK _,
     "ss_ivf_topk"       -> ssIvfTopK _,
     "ss_quantized_topk" -> ssQuantizedTopK _,
   )
 
   val oracles: Map[String, String] = Map(
+    "ss_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |    i -> struct_pack(dim := i,
+        |           vm := CAST(round(v[i] * 1e6) AS BIGINT)))) AS s
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings)),
+        |a AS (SELECT label, s.dim AS dim, count(*) AS n_vecs,
+        |        sum(s.vm) AS sum_micro
+        |      FROM x GROUP BY label, s.dim)
+        |SELECT label, dim, n_vecs, sum_micro,
+        |  CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+        |       ELSE -((-sum_micro) // n_vecs) END AS centroid_micro
+        |FROM a ORDER BY label, dim""".stripMargin,
     "ss_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

@@ -218,6 +218,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.map(_._5).distinct.length == 2, "degenerate classifier")
   }
 
+  test("label centroids cover every (label, dim) cell with consistent counts") {
+    val rows = Similarity.ssCentroids(spark, sf).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val dims = rows.map(_._2).max
+    val byLabel = rows.groupBy(_._1)
+    byLabel.foreach { case (label, cells) =>
+      assert(cells.length == dims, s"label $label must cover all $dims dims")
+      assert(cells.map(_._3).distinct.length == 1,
+        s"label $label: n_vecs must agree across dims")
+    }
+    val totalVecs = rows.filter(_._2 == 1).map(_._3).sum
+    assert(totalVecs == Tables.t(spark, sf, "embeddings").count())
+    rows.foreach { case (_, _, n, s, c) =>
+      assert(c == (if (s >= 0) s / n else -((-s) / n)), "truncated mean")
+    }
+  }
+
   test("corpus report shards partition the corpus with shares near 10000 bp") {
     val rows = TextAnalysis.taReport(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
