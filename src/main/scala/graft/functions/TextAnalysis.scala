@@ -317,7 +317,54 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** End-to-end corpus curation — the composed preprocessing flow a
+    * training-data pipeline actually ships: PII scan ([[taScrub]]'s
+    * counters), exact dedup (sorted-token-set fingerprint, keep the
+    * minimum doc_id of each group), quality filter
+    * ([[taQuality]]'s score at a 900 bp floor ≈ the corpus' 10th
+    * percentile), and the deterministic [[taSplit]] assignment for the
+    * survivors. One row per document with its disposition and the
+    * evidence behind it — the auditable form regulators and ablation
+    * studies both want.
+    *
+    * Drop precedence: exact_dup > low_quality > pii (first matching
+    * reason wins, mirrored exactly in the oracle). Shape: one scan,
+    * one fingerprint window (partitioned by fp — group-sized, never
+    * corpus-sized), everything else pure projection. */
+  def taCurate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
+    def hits(c: Column, re: String): Column = size(split(c, re, -1)) - 1
+    val w = Window.partitionBy("fp")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fp.as("fp"),
+        stopHits(toks, StopEn).as("n_stop"), size(toks).as("n_toks"),
+        (hits(col("text"), EmailRe) + hits(col("text"), UrlRe) +
+          hits(col("text"), DigitRunRe)).as("pii_hits"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("fp"), col("pii_hits"), col("bucket"),
+        (expr("(3000 * n_stop) div n_toks") +
+          lit(35L) * least(col("n_toks"), lit(200)).cast("long"))
+          .as("quality_score_bp"))
+      .withColumn("canonical", min("doc_id").over(w))
+      .withColumn("disposition",
+        when(col("doc_id") =!= col("canonical"), "exact_dup")
+          .when(col("quality_score_bp") < 900, "low_quality")
+          .when(col("pii_hits") > 0, "pii")
+          .otherwise("keep"))
+      .withColumn("split",
+        when(col("disposition") === "keep",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test")))
+      .select("doc_id", "disposition", "canonical", "quality_score_bp",
+        "pii_hits", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_curate"      -> taCurate _,
     "ta_repetition"  -> taRepetition _,
     "ta_mixture"     -> taMixture _,
     "ta_tokens"      -> taTokens _,
@@ -479,6 +526,40 @@ object TextAnalysis {
         |                ELSE 75 END AS keep_pct
         |  FROM documents)
         |WHERE bucket < keep_pct ORDER BY doc_id""".stripMargin,
+    "ta_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text),'\s+'))),' ')) AS fp,
+        |    (3000 * len(list_filter(string_split_regex(trim(text),'\s+'),
+        |       t -> t IN ('the','a','is','and','of')))
+        |      // len(string_split_regex(trim(text),'\s+'))) +
+        |    35 * least(len(string_split_regex(trim(text),'\s+')), 200)
+        |      AS quality_score_bp,
+        |    (len(string_split_regex(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1) +
+        |    (len(string_split_regex(text, 'https?://[^\s]+')) - 1) +
+        |    (len(string_split_regex(text, '[0-9]{6,}')) - 1) AS pii_hits,
+        |    CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, quality_score_bp, pii_hits, bucket,
+        |    min(doc_id) OVER (PARTITION BY fp) AS canonical
+        |  FROM base),
+        |disp AS (
+        |  SELECT doc_id, canonical, quality_score_bp, pii_hits, bucket,
+        |    CASE WHEN doc_id <> canonical THEN 'exact_dup'
+        |         WHEN quality_score_bp < 900 THEN 'low_quality'
+        |         WHEN pii_hits > 0 THEN 'pii'
+        |         ELSE 'keep' END AS disposition
+        |  FROM lab)
+        |SELECT doc_id, disposition, canonical, quality_score_bp, pii_hits,
+        |  CASE WHEN disposition = 'keep' THEN
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END
+        |  END AS split
+        |FROM disp ORDER BY doc_id""".stripMargin,
     "ta_vocab" ->
       """WITH tok AS (SELECT doc_id,
         |               unnest(string_split_regex(trim(text),'\s+')) AS tok

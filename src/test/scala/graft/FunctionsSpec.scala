@@ -236,6 +236,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation dispositions agree with the standalone operators") {
+    val cur = TextAnalysis.taCurate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        if (r.isNullAt(5)) null else r.getString(5))).toMap
+    // every non-canonical member of an exact-dup group is dropped as such
+    val exactDups = Dedup.ddExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2)
+    assert(exactDups.nonEmpty)
+    exactDups.foreach { case (doc, canon) =>
+      assert(cur(doc) == (("exact_dup", canon, null)), s"doc $doc")
+    }
+    // kept docs carry the same split taSplit assigns; dropped carry none
+    val splits = TextAnalysis.taSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    cur.foreach { case (doc, (disp, _, split)) =>
+      if (disp == "keep") assert(split == splits(doc), s"doc $doc split")
+      else assert(split == null, s"doc $doc: dropped rows get no split")
+    }
+    val kept = cur.values.count(_._1 == "keep").toDouble / cur.size
+    assert(kept > 0.5 && kept < 1.0, s"kept fraction $kept")
+  }
+
   test("corpus report shards partition the corpus with shares near 10000 bp") {
     val rows = TextAnalysis.taReport(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
