@@ -158,6 +158,19 @@ class ExpressionParitySpec extends AnyFunSuite {
       .map(_.getSeq[String](0))
     assert(c1.dropRight(1) == c2.take(c1.length - 1),
       "prefix chunks must survive a suffix edit")
+
+    // lossless partition: chunks joined back == normalized token stream
+    // (randomized corpus — the property must hold for ANY input)
+    val rnd = new scala.util.Random(42)
+    val fuzz = Seq.fill(50)(
+      Seq.fill(rnd.nextInt(120))(s"tok${rnd.nextInt(30)}").mkString(" "))
+    fuzz.toDF("text")
+      .select(col("text"), CdcChunks.cdc_chunks(col("text")).as("cs"))
+      .collect().foreach { r =>
+        val toks = r.getString(0).trim.split("\\s+").mkString(" ")
+        assert(r.getSeq[String](1).mkString(" ") == toks,
+          s"chunks must partition '${r.getString(0).take(60)}...'")
+      }
   }
 
   test("concurrent pipeline runs under distinct processing ids stay isolated") {
