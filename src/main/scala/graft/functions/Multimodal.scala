@@ -30,6 +30,11 @@ object Multimodal {
     }
   }
 
+  // encoder case class: must live at object scope for a TypeTag (and
+  // stay public for Spark's generated projections)
+  case class Resized(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, resized_bytes: Long)
+
   /** Binary feature extraction on the payload column itself — pure
     * expressions (octet_length / md5 / head bytes), no decode. */
   def mmBinaryFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -74,10 +79,37 @@ object Multimodal {
           .cast("binary")).as("frame_fp"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize preprocessing over the binary column — the standard ML
+    * input normalization (fit into 224×224 preserving aspect ratio),
+    * expressed as the same partition-wise pass as [[mmDecodeMeta]]:
+    * decode once per row, integer-exact target geometry, output-size
+    * model for the re-encoded payload (3 bytes/px RGB). The decode and
+    * re-encode are the deterministic fake (no codecs in the container);
+    * geometry math and plumbing are the real thing and run unchanged
+    * over a real decoder. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val ds = src.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val target = 224 // per-partition setup: a real resizer lives here
+      rows.map { case (id, payload) =>
+        val m = FakeDecoder.decode(id, payload)
+        val longest = math.max(m.width, m.height)
+        val ow = math.max(1, m.width * target / longest)
+        val oh = math.max(1, m.height * target / longest)
+        Resized(id, m.width, m.height, ow, oh, ow.toLong * oh * 3)
+      }
+    }(Encoders.product[Resized])
+      .orderBy("doc_id")
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> mmBinaryFeatures _,
     "mm_decode_meta"     -> mmDecodeMeta _,
     "mm_frame_sample"    -> mmFrameSample _,
+    "mm_resize"          -> mmResize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +125,22 @@ object Multimodal {
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(1 + n % 640 AS INT) AS width,
+        |    CAST(1 + (n * 7) % 480 AS INT) AS height
+        |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
+        |        FROM documents)),
+        |r AS (
+        |  SELECT doc_id, width, height,
+        |    greatest(1, (width * 224) // greatest(width, height)) AS out_w,
+        |    greatest(1, (height * 224) // greatest(width, height)) AS out_h
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+        |  CAST(out_w AS BIGINT) * out_h * 3 AS resized_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, f AS frame_idx,
         |  md5(text || '-' || CAST(f AS VARCHAR)) AS frame_fp
