@@ -35,7 +35,10 @@ case class CdcChunks(child: Expression)
   override def prettyName: String = "cdc_chunks"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // limit -1: KEEP trailing empty tokens — both Spark's split() and
+    // DuckDB's string_split_regex do (Java's default limit 0 drops them)
+    val toks = ShingleArray.sqlTrim(input.asInstanceOf[UTF8String].toString)
+      .split("\\s+", -1)
     val n = toks.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val cuts = scala.collection.mutable.ArrayBuffer(0)

@@ -28,9 +28,16 @@ object Dedup {
   /** Exact dedup under sorted-distinct-token-set normalization: every
     * member of a duplicate group mapped to its canonical (min) doc_id.
     * One shuffle on the 128-bit fingerprint. */
+  /** Sorted-distinct-token-set md5 — the exact-dedup document identity,
+    * shared by [[ddExact]], `TextAnalysis.taCurate` and
+    * `Streams.dedupStream` so the three can never disagree on what
+    * counts as "the same document". */
+  private[graft] def docFingerprint(c: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(split(trim(c), "\\s+")))).cast("binary"))
+
   def ddExact(spark: SparkSession, dir: String): DataFrame = {
-    val fp = md5(concat_ws(" ",
-      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
+    val fp = docFingerprint(col("text"))
     val w = Window.partitionBy("fp")
     t(spark, dir, "documents")
       .select(col("doc_id"), fp.as("fp"))
@@ -126,9 +133,25 @@ object Dedup {
     // is a superset of the true pairs. Tier 2 recomputes Jaccard on the
     // exact string arrays for the few survivors — the output is
     // collision-proof.
-    val hsh = docs.select(col("doc_id"), col("n"),
+    exactVerify(cand, docs.select("doc_id", "shs"))
+  }
+
+  /** Two-tier exact verification of candidate pairs — SHARED by every
+    * near-dup path (ngram prefix join, MinHash LSH, the streaming
+    * variant), so a threshold or rounding tweak can never diverge
+    * between them. Tier 1 scores every candidate with a codegen'd
+    * merge scan over pre-sorted 64-bit hash arrays (collisions only ADD
+    * candidates); tier 2 recomputes Jaccard on the exact string arrays
+    * for the survivors. Output: (doc_a, doc_b, jaccard) at j ≥ 0.5,
+    * collision-proof, unordered.
+    *
+    * @param cand candidate pairs (doc_a, doc_b)
+    * @param docs (doc_id, shs) — each doc's distinct shingle array
+    */
+  private[graft] def exactVerify(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val hsh = docs.select(col("doc_id"), size(col("shs")).as("n"),
       array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
-    val tier1 = cand
+    val tier1 = cand.select("doc_a", "doc_b")
       .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("na")), "doc_a")
       .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -146,6 +169,13 @@ object Dedup {
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** The 16×2 LSH band hashes of a 32-slot minhash signature — shared
+    * between the batch LSH and the streaming variant so their candidate
+    * spaces are identical by construction. */
+  private[graft] def bandHashCols(sig: Column, bandsOf: Int = 16): Seq[Column] =
+    (0 until bandsOf).map(j =>
+      hash(element_at(sig, 2 * j + 1), element_at(sig, 2 * j + 2)))
 
   /** MinHash + LSH near-dup detection. Candidates are approximate
     * (banded minhash collisions) but every candidate is verified with
@@ -168,8 +198,6 @@ object Dedup {
     * made this operator ~40× slower; explode+agg is also the shape that
     * scales (map-side combine, one shuffle on doc_id). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val numHashes = 32
-    val bandsOf = 16 // 16 bands × 2 rows
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
     val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -178,40 +206,17 @@ object Dedup {
     // min(hash) aggregate columns
     val sigs = ex.groupBy("doc_id")
       .agg(MinHashAgg.minhash32(col("sh")).as("sig"))
-    val bandCols = (0 until bandsOf).map(j =>
-      hash(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2)))
     val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        posexplode(array(bandHashCols(col("sig")): _*))
+          .as(Seq("band_idx", "band_hash")))
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Two-tier candidate verification (same shape as ddNgramJaccard):
-    // a codegen'd merge scan over pre-sorted hash arrays filters the
-    // band candidates (collisions only ADD pairs), then the exact
-    // string arrays score the survivors — collision-proof output.
-    val hsh = docs.withColumn("n", size(col("shs")))
-      .select(col("doc_id"), col("n"),
-        array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
-    val tier1 = cand
-      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n").as("na")), "doc_a")
-      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
-      .where(round(col("shared") /
-        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
-      .select("doc_a", "doc_b")
-    tier1
-      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))) /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+    // shared two-tier exact verification (see exactVerify)
+    exactVerify(cand, docs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -361,7 +366,11 @@ object Dedup {
     * count, no second pass. Hot boilerplate grams skew the join's build
     * side only by their df row — instances stay spread across docs. */
   def ddSpan(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame = {
+    // null text excluded EXPLICITLY (mirrored in the oracle): the
+    // exploded instance stream drops such docs implicitly, which would
+    // silently diverge from the oracle's LEFT JOIN keeping them
     val docs = t(spark, dir, "documents")
+      .where(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
     val base = docs.select(col("doc_id"),
       greatest(size(col("tk")) - 4, lit(0)).cast("long").as("n_spans"))
@@ -407,6 +416,7 @@ object Dedup {
     // formulation was quadratic); every doc yields >= 1 chunk, so the
     // per-doc chunk count falls out of the same instance aggregation
     val inst = t(spark, dir, "documents")
+      .where(col("text").isNotNull) // mirrored in the oracle, as in ddSpan
       .select(col("doc_id"),
         explode(CdcChunks.cdc_chunks(col("text"))).as("chunk"))
       .select(col("doc_id"),
@@ -534,7 +544,7 @@ object Dedup {
         |ORDER BY cos DESC, vec_a, vec_b LIMIT 40""".stripMargin,
     "dd_span" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |base AS (SELECT doc_id, greatest(len(tk)-4, 0) AS n_spans FROM t),
         |g AS (SELECT doc_id,
         |        CAST(('0x' || substr(md5(gram),1,15)) AS BIGINT) AS g
@@ -555,7 +565,7 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "dd_cdc" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |cutpos AS (SELECT doc_id, tk,
         |    list_concat(list_concat([0],
         |      CASE WHEN len(tk) >= 5 THEN

@@ -32,7 +32,10 @@ case class ShingleArray(child: Expression)
   override def prettyName: String = "shingles3"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // limit -1: KEEP trailing empty tokens — both Spark's split() and
+    // DuckDB's string_split_regex do (Java's default limit 0 drops them)
+    val toks = ShingleArray.sqlTrim(input.asInstanceOf[UTF8String].toString)
+      .split("\\s+", -1)
     val out = new java.util.LinkedHashSet[String]()
     val last = math.max(toks.length - 3, 0)
     var i = 0
@@ -62,4 +65,18 @@ case class ShingleArray(child: Expression)
 object ShingleArray {
   def shingles3(c: Column): Column =
     GraftBridge.column(ShingleArray(GraftBridge.expression(c)))
+
+  /** SQL-`trim` semantics: strip SPACES only. Java's `String.trim`
+    * strips every char ≤ U+0020 (tabs, newlines), so a tab-edged
+    * document would tokenize differently here than in the Spark HOF
+    * (`trim()` strips spaces only) and the DuckDB oracle — a latent
+    * parity break for any native expression that claims to mirror the
+    * `split(trim(text), '\s+')` formulation. */
+  private[functions] def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
 }

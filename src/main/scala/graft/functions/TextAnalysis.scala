@@ -30,6 +30,36 @@ object TextAnalysis {
   private def stopHits(toks: Column, stop: Seq[String]): Column =
     size(filter(toks, x => x.isin(stop.map(lit): _*)))
 
+  /** Floor division for NON-NEGATIVE integer columns as a pure Column
+    * (`expr("a div b")` needs named columns): the numerator is made
+    * exactly divisible first, so the double quotient is integral and
+    * exact below 2⁵³. Matches SQL `div` / DuckDB `//` on the
+    * non-negative operands every basis-point formula uses. */
+  private[graft] def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** [[taQuality]]'s composite score — shared with [[taCurate]] so the
+    * curation floor can never drift from the standalone operator. */
+  private[graft] def qualityScoreBp(nStop: Column, nToks: Column): Column =
+    intDiv(lit(3000L) * nStop, nToks) +
+      lit(35L) * least(nToks, lit(200)).cast("long")
+
+  /** [[taSplit]]'s deterministic bucket and name — shared with
+    * [[taCurate]]. */
+  private[graft] def splitBucket(id: Column): Column =
+    conv(substring(md5(concat(lit("split:"), id)), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  private[graft] def splitName(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+  /** Non-overlapping regex match count — shared by [[taScrub]] and
+    * [[taCurate]]'s PII scan. */
+  private[graft] def regexHits(c: Column, re: String): Column =
+    size(split(c, re, -1)) - 1
+
+  private[graft] def enStopHits(toks: Column): Column = stopHits(toks, StopEn)
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks). */
   def taTokens(spark: SparkSession, dir: String): DataFrame =
@@ -59,12 +89,11 @@ object TextAnalysis {
         size(col("toks")).as("n_toks"),
         aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("n_tok_chars"))
       .select(col("doc_id"), col("len"),
-        expr("(10000 * n_punct) div len").as("punct_bp"),
-        expr("(10000 * n_stop) div n_toks").as("stopword_bp"),
-        expr("(100 * n_tok_chars) div n_toks").as("avg_word_centichars"),
-        (expr("(3000 * n_stop) div n_toks") +
-          lit(35L) * least(col("n_toks"), lit(200)).cast("long"))
-          .as("quality_score_bp"))
+        intDiv(lit(10000L) * col("n_punct"), col("len")).as("punct_bp"),
+        intDiv(lit(10000L) * col("n_stop"), col("n_toks")).as("stopword_bp"),
+        intDiv(lit(100L) * col("n_tok_chars"), col("n_toks"))
+          .as("avg_word_centichars"),
+        qualityScoreBp(col("n_stop"), col("n_toks")).as("quality_score_bp"))
       .orderBy("doc_id")
   }
 
@@ -178,12 +207,8 @@ object TextAnalysis {
     * identical assignment. One narrow projection, no shuffle. */
   def taSplit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id")
 
   /** Deterministic global shuffle: a pseudo-random but reproducible
@@ -332,22 +357,19 @@ object TextAnalysis {
     * one fingerprint window (partitioned by fp — group-sized, never
     * corpus-sized), everything else pure projection. */
   def taCurate(spark: SparkSession, dir: String): DataFrame = {
+    // every building block is the SHARED helper its standalone operator
+    // uses (docFingerprint, qualityScoreBp, regexHits, splitBucket) —
+    // the composed flow cannot drift from the operators it composes
     val toks = tokens(col("text"))
-    val fp = md5(concat_ws(" ",
-      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
-    def hits(c: Column, re: String): Column = size(split(c, re, -1)) - 1
     val w = Window.partitionBy("fp")
     t(spark, dir, "documents")
-      .select(col("doc_id"), fp.as("fp"),
-        stopHits(toks, StopEn).as("n_stop"), size(toks).as("n_toks"),
-        (hits(col("text"), EmailRe) + hits(col("text"), UrlRe) +
-          hits(col("text"), DigitRunRe)).as("pii_hits"),
-        (conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), Dedup.docFingerprint(col("text")).as("fp"),
+        enStopHits(toks).as("n_stop"), size(toks).as("n_toks"),
+        (regexHits(col("text"), EmailRe) + regexHits(col("text"), UrlRe) +
+          regexHits(col("text"), DigitRunRe)).as("pii_hits"),
+        splitBucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("fp"), col("pii_hits"), col("bucket"),
-        (expr("(3000 * n_stop) div n_toks") +
-          lit(35L) * least(col("n_toks"), lit(200)).cast("long"))
-          .as("quality_score_bp"))
+        qualityScoreBp(col("n_stop"), col("n_toks")).as("quality_score_bp"))
       .withColumn("canonical", min("doc_id").over(w))
       .withColumn("disposition",
         when(col("doc_id") =!= col("canonical"), "exact_dup")
@@ -355,9 +377,7 @@ object TextAnalysis {
           .when(col("pii_hits") > 0, "pii")
           .otherwise("keep"))
       .withColumn("split",
-        when(col("disposition") === "keep",
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val").otherwise("test")))
+        when(col("disposition") === "keep", splitName(col("bucket"))))
       .select("doc_id", "disposition", "canonical", "quality_score_bp",
         "pii_hits", "split")
       .orderBy("doc_id")
@@ -389,13 +409,11 @@ object TextAnalysis {
     * per-doc counts of each — the cleaning pass every training corpus
     * gets. Pure regexp expressions, one scan, no shuffle. */
   def taScrub(spark: SparkSession, dir: String): DataFrame = {
-    def hits(c: Column, re: String): Column =
-      size(split(c, re, -1)) - 1
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        hits(col("text"), EmailRe).as("n_emails"),
-        hits(col("text"), UrlRe).as("n_urls"),
-        hits(col("text"), DigitRunRe).as("n_digit_runs"),
+        regexHits(col("text"), EmailRe).as("n_emails"),
+        regexHits(col("text"), UrlRe).as("n_urls"),
+        regexHits(col("text"), DigitRunRe).as("n_digit_runs"),
         regexp_replace(regexp_replace(regexp_replace(col("text"),
           EmailRe, "<EMAIL>"), UrlRe, "<URL>"), DigitRunRe, "<NUM>")
           .as("scrubbed"))

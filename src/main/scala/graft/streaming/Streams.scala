@@ -119,10 +119,8 @@ object Streams {
     * and pruned at the watermark, so memory stays bounded no matter
     * how long the stream runs. */
   def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    import org.apache.spark.sql.functions.{array_distinct, array_sort, col, concat_ws, md5, split, trim}
-    val fp = md5(concat_ws(" ",
-      array_sort(array_distinct(split(trim(col("text")), "\\s+")))).cast("binary"))
-    val withFp = docs.withColumn("fp", fp)
+    val withFp = docs.withColumn("fp",
+      graft.functions.Dedup.docFingerprint(col("text")))
     if (withFp.isStreaming)
       withFp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
     else withFp.dropDuplicates("fp")
@@ -169,17 +167,15 @@ object Streams {
     * the horizon with a state TTL the same way [[dedupStream]] leans on
     * its watermark. */
   def nearDupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
-    import graft.functions.{Dedup, MinHashRow, VectorOps}
+    import graft.functions.{Dedup, MinHashRow}
     val spark = docs.sparkSession
     import spark.implicits._
-    val bandsOf = 16
     val sigs = docs.select(col("doc_id"),
       MinHashRow.minhash32_row(Dedup.shingles(col("text"))).as("sig"))
-    val bandCols = (0 until bandsOf).map(j =>
-      hash(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2)))
     val bands = sigs
       .select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        posexplode(array(Dedup.bandHashCols(col("sig")): _*))
+          .as(Seq("band_idx", "band_hash")))
       .as[BandRow]
     val cands = bands
       .groupByKey(r => (r.band_idx, r.band_hash))
@@ -199,26 +195,10 @@ object Streams {
           state.update(acc)
           out.iterator
         })
-    // exact two-tier verify against the static corpus (stateless joins)
+    // shared two-tier exact verification against the static corpus
+    // (stateless stream-static joins — Dedup.exactVerify)
     val docsStatic = corpus.select(col("doc_id"),
       Dedup.shingles(col("text")).as("shs"))
-    val hsh = docsStatic.withColumn("n", size(col("shs")))
-      .select(col("doc_id"), col("n"),
-        array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
-    cands.toDF()
-      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n").as("na")), "doc_a")
-      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
-      .where(round(col("shared") /
-        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
-      .join(docsStatic.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(docsStatic.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))) /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+    Dedup.exactVerify(cands.toDF(), docsStatic)
   }
 }

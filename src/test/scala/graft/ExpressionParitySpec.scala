@@ -17,7 +17,10 @@ class ExpressionParitySpec extends AnyFunSuite {
       "", " ", "one", "one two", "one two three",
       "a b c d e f g", "dup dup dup dup",
       "  leading and trailing  ", "tab\tseparated\ttokens",
-      "a  double  spaced  doc", "x " * 200 + "tail")
+      "a  double  spaced  doc", "x " * 200 + "tail",
+      // EDGE whitespace beyond spaces: SQL trim strips spaces only, so
+      // the tab must survive and shift tokenization in BOTH paths
+      "\ttab-led doc body here", "trailing newline doc\n")
     val df = corpus.toDF("text")
     val toks = split(trim(col("text")), "\\s+")
     val reference = array_distinct(transform(
@@ -130,7 +133,8 @@ class ExpressionParitySpec extends AnyFunSuite {
       "one two three four five",
       Seq.tabulate(60)(i => s"w$i").mkString(" "),
       "dup dup dup dup dup dup dup dup dup dup",
-      "  odd   whitespace  doc with\ttabs and  runs  ")
+      "  odd   whitespace  doc with\ttabs and  runs  ",
+      "\ttab-led five token doc here", "newline-trailed doc body here\n")
     val df = corpus.toDF("text")
     val tk = split(trim(col("text")), "\\s+")
     val cutsAt = filter(
