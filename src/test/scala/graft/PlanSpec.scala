@@ -138,6 +138,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("dd_cdc shares the dd_span shape: keyed joins, partial combine") {
+    val plan = planOf(graft.functions.Dedup.ddCdc(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("ta_vocab cuts the vocabulary with TakeOrdered, not a global sort") {
     val plan = planOf(graft.functions.TextAnalysis.taVocab(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
