@@ -172,7 +172,7 @@ object Similarity {
     t(spark, dir, "embeddings")
       .select(col("label"), posexplode(asDouble(col("embedding")))
         .as(Seq("dim0", "v")))
-      .select(col("label"), (col("dim0") + 1).as("dim"),
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
         round(col("v") * 1e6).cast("long").as("vmicro"))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum(col("vmicro")).as("sum_micro"))
@@ -196,12 +196,13 @@ object Similarity {
         |           vm := CAST(round(v[i] * 1e6) AS BIGINT)))) AS s
         |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |        FROM embeddings)),
-        |a AS (SELECT label, s.dim AS dim, count(*) AS n_vecs,
-        |        sum(s.vm) AS sum_micro
+        |a AS (SELECT label, CAST(s.dim AS BIGINT) AS dim,
+        |        count(*) AS n_vecs,
+        |        CAST(sum(s.vm) AS BIGINT) AS sum_micro
         |      FROM x GROUP BY label, s.dim)
         |SELECT label, dim, n_vecs, sum_micro,
-        |  CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
-        |       ELSE -((-sum_micro) // n_vecs) END AS centroid_micro
+        |  CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vecs
+        |       ELSE -((-sum_micro) // n_vecs) END AS BIGINT) AS centroid_micro
         |FROM a ORDER BY label, dim""".stripMargin,
     "ss_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

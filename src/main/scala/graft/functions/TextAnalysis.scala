@@ -285,7 +285,7 @@ object TextAnalysis {
     val top = stats.orderBy(col("tf").desc, col("tok")).limit(k)
     val w = Window.orderBy(col("tf").desc, col("tok"))
     top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_bp", expr("(10000 * sum(tf) over " +
         "(order by tf desc, tok rows unbounded preceding)) div total_tf"))
       .select("rank", "tok", "tf", "ddf", "cum_bp")
@@ -589,8 +589,8 @@ object TextAnalysis {
         |top AS (SELECT * FROM stats ORDER BY tf DESC, tok LIMIT 1000)
         |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank,
         |  tok, tf, ddf,
-        |  (10000 * sum(tf) OVER (ORDER BY tf DESC, tok
-        |     ROWS UNBOUNDED PRECEDING)) // total_tf AS cum_bp
+        |  CAST((10000 * sum(tf) OVER (ORDER BY tf DESC, tok
+        |     ROWS UNBOUNDED PRECEDING)) // total_tf AS BIGINT) AS cum_bp
         |FROM top, tot ORDER BY rank""".stripMargin,
     "ta_quality_lr" ->
       """WITH w AS (
@@ -602,20 +602,23 @@ object TextAnalysis {
         |          unnest(string_split_regex(trim(text),'\s+')) AS tok
         |        FROM documents))
         |SELECT doc_id, n_toks, w_sum,
-        |  (10000 * (w_sum + 1000 * n_toks)) // (2000 * n_toks) AS quality_bp,
+        |  CAST((10000 * (w_sum + 1000 * n_toks)) // (2000 * n_toks)
+        |    AS BIGINT) AS quality_bp,
         |  CASE WHEN w_sum > 0 THEN 'keep' ELSE 'drop' END AS label
-        |FROM (SELECT doc_id, count(*) AS n_toks, sum(w) AS w_sum
+        |FROM (SELECT doc_id, count(*) AS n_toks,
+        |        CAST(sum(w) AS BIGINT) AS w_sum
         |      FROM w GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
     "ta_report" ->
       """WITH bysrc AS (
         |  SELECT source, lang, count(*) AS n_docs,
-        |    sum(len(string_split_regex(trim(text),'\s+'))) AS total_toks,
-        |    sum(length(text)) AS total_chars
+        |    CAST(sum(len(string_split_regex(trim(text),'\s+')))
+        |      AS BIGINT) AS total_toks,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars
         |  FROM documents GROUP BY source, lang),
         |tot AS (SELECT sum(n_docs) AS corpus_docs FROM bysrc)
         |SELECT source, lang, n_docs, total_toks, total_chars,
-        |  (10000 * n_docs) // corpus_docs AS doc_share_bp
+        |  CAST((10000 * n_docs) // corpus_docs AS BIGINT) AS doc_share_bp
         |FROM bysrc, tot ORDER BY source, lang""".stripMargin,
   )
 }

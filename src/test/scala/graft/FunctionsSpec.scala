@@ -186,9 +186,9 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("vocab coverage is monotone and complete when vocab fits the cut") {
     val rows = TextAnalysis.taVocab(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-    assert(rows.map(_._1).toSeq == (1 to rows.length), "contiguous ranks")
+    assert(rows.map(_._1).toSeq == (1L to rows.length), "contiguous ranks")
     assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted,
       "cumulative coverage must be non-decreasing")
     val tfs = rows.map(_._3)
@@ -220,7 +220,7 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("label centroids cover every (label, dim) cell with consistent counts") {
     val rows = Similarity.ssCentroids(spark, sf).collect()
-      .map(r => (String.valueOf(r.get(0)), r.getInt(1), r.getLong(2),
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     val dims = rows.map(_._2).max
     val byLabel = rows.groupBy(_._1)

@@ -33,6 +33,16 @@ def main(sfdir, outdir):
             g, e = canon(got), canon(exp)
             if list(g.columns) != list(e.columns):
                 raise AssertionError(f"columns {list(g.columns)} != {list(e.columns)}")
+            # The driver's hash tolerates integer width (int32 vs int64
+            # hash identically in pandas) but NOT int-vs-float/object —
+            # DuckDB HUGEINT (raw sum()) surfaces as float64/object and
+            # fails the gate (round-4 ta_report et al). Emulate that.
+            def norm(d):
+                d = str(d)
+                return "int" if d.startswith(("int", "uint")) else d
+            gd, ed = [norm(d) for d in g.dtypes], [norm(d) for d in e.dtypes]
+            if gd != ed:
+                raise AssertionError(f"dtypes {gd} != {ed}")
             if len(g) != len(e):
                 raise AssertionError(f"rows {len(g)} != {len(e)}")
             for c in g.columns:
