@@ -139,7 +139,8 @@ object Streams {
 
   // encoder classes must be public: Spark's generated safe projections
   // access them from synthesized code outside this object
-  case class BandRow(band_idx: Int, band_hash: Int, doc_id: Long)
+  case class BandRow(band_idx: Int, band_hash: Int, doc_id: Long,
+      ts: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long)
 
   /** Streaming NEAR-dup detection — the incremental form of
@@ -161,39 +162,67 @@ object Streams {
     * `flatMapGroupsWithState` — consumers dedup on (doc_a, doc_b), and
     * the spec asserts set-parity with the batch operator).
     *
-    * Scale: state is one doc-id list per OCCUPIED band bucket —
-    * near-dup buckets are tiny by construction (a hot bucket would mean
-    * the band hash is degenerate), and a production deployment bounds
-    * the horizon with a state TTL the same way [[dedupStream]] leans on
-    * its watermark. */
-  def nearDupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    * Scale: state is one SORTED doc-id array per OCCUPIED band bucket
+    * (binary-search membership, not a linear scan), and every bucket is
+    * evicted by an event-time timeout once the watermark passes its
+    * newest member by `horizonMinutes` — the sessionize pattern. On an
+    * infinite crawl stream, state is bounded by the documents inside
+    * the dedup horizon, never the whole history; near-dup buckets stay
+    * tiny by construction (a hot bucket would mean the band hash is
+    * degenerate). Pairs only form between documents whose arrival ts
+    * are within the horizon — the documented TTL semantics. */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame,
+      horizonMinutes: Int = 1440): DataFrame = {
     import graft.functions.{Dedup, MinHashRow}
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"),
+    val horizonMs = horizonMinutes * 60000L
+    val streaming = docs.isStreaming
+    val src =
+      if (streaming) docs.withWatermark("ts", s"$horizonMinutes minutes")
+      else docs
+    val sigs = src.select(col("doc_id"), col("ts"),
       MinHashRow.minhash32_row(Dedup.shingles(col("text"))).as("sig"))
     val bands = sigs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ts"),
         posexplode(array(Dedup.bandHashCols(col("sig")): _*))
           .as(Seq("band_idx", "band_hash")))
       .as[BandRow]
     val cands = bands
       .groupByKey(r => (r.band_idx, r.band_hash))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, Int), rows: Iterator[BandRow], state: GroupState[Seq[Long]]) => {
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen.contains)
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var acc = seen
-          fresh.foreach { id =>
-            acc.foreach { other =>
-              if (other != id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Int), rows: Iterator[BandRow], state: GroupState[Array[Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray
+            val seen = state.getOption.getOrElse(Array.empty[Long])
+            val fresh = batch.map(_.doc_id).distinct
+              .filter(id => java.util.Arrays.binarySearch(seen, id) < 0)
+              .sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var acc = seen
+            fresh.foreach { id =>
+              acc.foreach { other =>
                 out += CandPair(math.min(other, id), math.max(other, id))
+              }
+              val pos = -java.util.Arrays.binarySearch(acc, id) - 1
+              val grown = new Array[Long](acc.length + 1)
+              System.arraycopy(acc, 0, grown, 0, pos)
+              grown(pos) = id
+              System.arraycopy(acc, pos, grown, pos + 1, acc.length - pos)
+              acc = grown
             }
-            acc = acc :+ id
+            state.update(acc)
+            if (streaming) {
+              // rows older than the watermark were dropped upstream, so
+              // maxTs + horizon is always ahead of the current watermark
+              val maxTs = batch.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          state.update(acc)
-          out.iterator
         })
     // shared two-tier exact verification against the static corpus
     // (stateless stream-static joins — Dedup.exactVerify)

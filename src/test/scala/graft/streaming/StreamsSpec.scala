@@ -140,8 +140,10 @@ class StreamsSpec extends AnyFunSuite {
     import StreamsSpec.Doc
     val sf = SparkTestSession.sf
     val corpus = graft.Tables.t(spark, sf, "documents")
+    // +1: an event AT the initial watermark (epoch 0) is dropped as
+    // late by the event-time-timeout operator, not a near-dup concern
     val docs = corpus.select("doc_id", "text").collect()
-      .map(r => Doc(r.getLong(0), ts(r.getLong(0)), r.getString(1)))
+      .map(r => Doc(r.getLong(0), ts(r.getLong(0) + 1), r.getString(1)))
     val mem = MemoryStream[Doc](spark)
     val out = Streams.nearDupStream(mem.toDF(), corpus)
     val q = out.writeStream.format("memory").queryName("near_dup")
@@ -160,6 +162,52 @@ class StreamsSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "corpus should contain planted near-dups")
       assert(streamed == batch,
         s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    } finally q.stop()
+  }
+
+  test("near-dup band buckets are evicted past the watermark horizon") {
+    import StreamsSpec.Doc
+    val sf = SparkTestSession.sf
+    val corpus = graft.Tables.t(spark, sf, "documents")
+    val text = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 2, "need two disjoint planted pairs")
+    val (a1, b1) = pairs.head
+    // a second pair disjoint from the first AND not cross-linked to it
+    // (no batch pair joins {a1,b1} with {a2,b2}), so its members cannot
+    // form candidates with the evicted documents
+    val linked = pairs.filter(p => Set(p._1, p._2).intersect(Set(a1, b1)).nonEmpty)
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val (a2, b2) = pairs
+      .find(p => !linked.contains(p._1) && !linked.contains(p._2))
+      .getOrElse(fail("no disjoint second pair in the corpus"))
+    val filler = (0 until 2).map(i => Doc(100000L + i, ts(50000 + i),
+      (0 until 25).map(j => s"filler${i}tok$j").mkString(" ")))
+
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus, horizonMinutes = 60)
+    val q = out.writeStream.format("memory").queryName("near_dup_ttl")
+      .outputMode("append").start()
+    try {
+      // a1 enters its buckets; the two fillers then push the watermark
+      // far past a1's 60-minute timeout (the second batch fires the
+      // eviction for buckets that get no new data)
+      mem.addData(Doc(a1, ts(1), text(a1))); q.processAllAvailable()
+      mem.addData(filler(0)); q.processAllAvailable()
+      mem.addData(filler(1)); q.processAllAvailable()
+      // b1 arrives after eviction → no pair; a2+b2 arrive together
+      // inside the horizon → pair still forms
+      mem.addData(Doc(b1, ts(50002), text(b1))); q.processAllAvailable()
+      mem.addData(Doc(a2, ts(50003), text(a2)),
+        Doc(b2, ts(50003), text(b2))); q.processAllAvailable()
+      val streamed = spark.table("near_dup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!streamed.contains((a1, b1)),
+        s"evicted bucket must not pair across the horizon: $streamed")
+      assert(streamed.contains((a2, b2)),
+        s"in-horizon pair must still surface: $streamed")
     } finally q.stop()
   }
 }
