@@ -69,6 +69,10 @@ object ScaleSmoke {
     time("ta_fingerprint")(TextAnalysis.taFingerprint(spark, big).count())
     time("ta_shuffle")(TextAnalysis.taShuffle(spark, big).count())
     time("ta_pack")(TextAnalysis.taPack(spark, big).count())
+    // per-copy token prefixes give the replicated corpus a vocabulary of
+    // ~factor·|V| distinct tokens, so a k=100 cut actually BINDS here —
+    // exercises the TakeOrdered path the sf corpus (31 tokens) never hits
+    time("ta_vocab_k100")(TextAnalysis.taVocab(spark, big, 100).count())
     time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
     spark.stop()
   }

@@ -249,8 +249,10 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: the Hamming cut is computable per
+      // pair instance, so the dedup shuffle only carries survivors
       .where(col("hamming") <= 6)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -28,7 +28,11 @@ object BulkRunner {
       ctx: BlockCtx,
       /** Stage-checkpoint root (parquet per stage); None = in-memory
         * lineage only. */
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      /** E12 at data scale: hydrate stages whose checkpoint already
+        * exists (complete `_SUCCESS` marker) instead of recomputing
+        * them — a killed run resumes from its last finished stage. */
+      resume: Boolean = false)
 
   /** Run a spec over an initial stage map; returns slug → stage frame. */
   def run(spec: PipelineSpec, initial: Map[String, DataFrame],
@@ -44,6 +48,18 @@ object BulkRunner {
     initial.foreach { case (k, v) => stages(k) = normalize(v) }
 
     spec.blocks.foreach { blockSpec =>
+      val ckpt = conf.checkpointDir.map(r => s"$r/${spec.slug}/${blockSpec.slug}")
+      val finished = conf.resume && ckpt.exists(p =>
+        new java.io.File(s"$p/_SUCCESS").exists())
+      if (finished) stages(blockSpec.slug) = conf.spark.read.parquet(ckpt.get)
+      else stages(blockSpec.slug) = runBlock(spec, blockSpec, stages, conf)
+    }
+    stages.toMap
+  }
+
+  private def runBlock(spec: PipelineSpec, blockSpec: BlockSpec,
+      stages: scala.collection.mutable.LinkedHashMap[String, DataFrame],
+      conf: BulkConfig): DataFrame = {
       val op = conf.registry(blockSpec.id)
       val ic = blockSpec.inputConfig.getOrElse(InputConfig())
 
@@ -90,7 +106,7 @@ object BulkRunner {
       }
 
       val out = execute(op, blockSpec, in, typedCol, conf)
-      val materialized = conf.checkpointDir match {
+      conf.checkpointDir match {
         case Some(root) =>
           val path = s"$root/${spec.slug}/${blockSpec.slug}"
           out.write.mode("overwrite").parquet(path)
@@ -100,9 +116,6 @@ object BulkRunner {
           conf.spark.read.parquet(path)
         case None => out
       }
-      stages(blockSpec.slug) = materialized
-    }
-    stages.toMap
   }
 
   /** Resume: hydrate stage frames from a previous run's parquet

@@ -56,7 +56,10 @@ class FunctionsSpec extends AnyFunSuite {
     val sim = Dedup.ddSimhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & sim).size.toDouble / exact.size
-    assert(recall >= 0.75, s"simhash recall $recall over ${exact.size} pairs")
+    // measured floor: 0.9286 at sf0.001, 0.9200 at sf0.01 (4×16-bit
+    // chunks, Hamming ≤ 6) — pinned so a chunking change can't silently
+    // degrade recall the way the 0.8 floor pins ss_ivf_topk
+    assert(recall >= 0.92, s"simhash recall $recall over ${exact.size} pairs")
   }
 
   test("IVF top-k achieves reasonable recall vs brute force") {
@@ -199,6 +202,21 @@ class FunctionsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, tf, ddf, _) =>
       assert(ddf >= 1 && ddf <= tf, "df bounded by tf and positive")
     }
+  }
+
+  test("vocab top-k cut binds when the vocabulary exceeds k") {
+    val full = TextAnalysis.taVocab(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(full.length > 10, "need a vocabulary larger than the cut")
+    val cut = TextAnalysis.taVocab(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(cut.length == 10, "the TakeOrdered cut must bind at k=10")
+    // the cut returns the GLOBAL top-10 with identical ranks, tfs and
+    // cumulative coverage — not an arbitrary 10-row sample
+    assert(cut.toSeq == full.take(10).toSeq,
+      "top-k rows must agree with the full ranking's prefix")
+    assert(cut.last._4 < 10000L,
+      "a binding cut cannot reach full corpus coverage")
   }
 
   test("linear quality scores are deterministic, bounded, and sign-consistent") {

@@ -223,4 +223,32 @@ class BulkRunnerSpec extends AnyFunSuite {
     // and the plan is a distributed select, not a driver loop
     assert(out("wrap").queryExecution.executedPlan.toString.contains("FileScan parquet"))
   }
+
+  test("a partially checkpointed run resumes without recomputing upstream") {
+    val root = java.nio.file.Files.createTempDirectory("bulk-resume").toString
+    val conf = BulkRunner.BulkConfig(spark, registry, Clients.mockCtx(),
+      checkpointDir = Some(root))
+
+    // the "killed" run: only the first two stages got checkpointed
+    val partial = PipelineSpec(spec.slug, spec.title, spec.description,
+      spec.blocks.take(2))
+    BulkRunner.run(partial, Map.empty, conf)
+    val upstream = Seq("tr", "per-seg").map { slug =>
+      val p = java.nio.file.Paths.get(root, spec.slug, slug, "_SUCCESS")
+      assert(java.nio.file.Files.exists(p), s"stage $slug must be checkpointed")
+      slug -> java.nio.file.Files.getLastModifiedTime(p)
+    }
+
+    // resume the FULL spec: finished stages hydrate from parquet, the
+    // remaining two execute, and the final bytes match an uninterrupted run
+    val resumed = BulkRunner.run(spec, Map.empty, conf.copy(resume = true))
+    val resumedJoin = new String(
+      resumed("join").collect()(0).getAs[Array[Byte]]("value"), "UTF-8")
+    assert(resumedJoin == "{alpha]|{beta]|{gamma]")
+    upstream.foreach { case (slug, t0) =>
+      val p = java.nio.file.Paths.get(root, spec.slug, slug, "_SUCCESS")
+      assert(java.nio.file.Files.getLastModifiedTime(p) == t0,
+        s"stage $slug must not be recomputed or rewritten on resume")
+    }
+  }
 }
