@@ -30,8 +30,14 @@ object BulkRunner {
         * lineage only. */
       checkpointDir: Option[String] = None,
       /** E12 at data scale: hydrate stages whose checkpoint already
-        * exists (complete `_SUCCESS` marker) instead of recomputing
-        * them — a killed run resumes from its last finished stage. */
+        * exists (complete `_SUCCESS` marker AND a manifest matching the
+        * stage's current fingerprint) instead of recomputing them — a
+        * killed run resumes from its last finished stage, while a run
+        * resumed after EDITING the spec recomputes the edited stage and
+        * everything downstream of it (the manifest embeds the upstream
+        * fingerprints, so staleness propagates; reference analogue:
+        * resume hydrates by processingId, immutable per run —
+        * types/dataclasses/pipeline.go:193-202). */
       resume: Boolean = false)
 
   /** Run a spec over an initial stage map; returns slug → stage frame. */
@@ -46,20 +52,97 @@ object BulkRunner {
 
     val stages = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     initial.foreach { case (k, v) => stages(k) = normalize(v) }
+    // Initial (caller-provided) stages carry an opaque tag: the guard
+    // covers spec edits; swapping the initial DATA under the same slug
+    // is the caller's contract, as in the reference (a processing's
+    // input files are immutable once staged).
+    val fps = scala.collection.mutable.Map[String, String]()
+    initial.keys.foreach(k => fps(k) = s"external:$k")
 
     spec.blocks.foreach { blockSpec =>
+      val fp = stageFingerprint(blockSpec, fps)
+      fps(blockSpec.slug) = fp
       val ckpt = conf.checkpointDir.map(r => s"$r/${spec.slug}/${blockSpec.slug}")
-      val finished = conf.resume && ckpt.exists(p =>
-        new java.io.File(s"$p/_SUCCESS").exists())
+      val finished = conf.resume && ckpt.exists(p => checkpointCurrent(conf, p, fp))
       if (finished) stages(blockSpec.slug) = conf.spark.read.parquet(ckpt.get)
-      else stages(blockSpec.slug) = runBlock(spec, blockSpec, stages, conf)
+      else stages(blockSpec.slug) = runBlock(spec, blockSpec, stages, conf, fp)
     }
     stages.toMap
   }
 
+  // --- stage fingerprints (stale-resume guard) ----------------------
+  private val ManifestFile = "_graft_manifest"
+
+  /** SHA-256 over the block's output-relevant spec fields plus the
+    * fingerprints of every wired origin, so editing any upstream block
+    * invalidates all downstream checkpoints. `description` is excluded:
+    * it never affects the computed bytes. */
+  private def stageFingerprint(b: BlockSpec,
+      fps: scala.collection.Map[String, String]): String = {
+    val ic = b.inputConfig.getOrElse(InputConfig())
+    val wiring = ic.property.toSeq.sortBy(_._1).map { case (name, w) =>
+      val up = fps.getOrElse(w.origin, s"unmaterialized:${w.origin}")
+      s"$name<=${w.origin}#$up;path=${w.jsonPath.getOrElse("")};arr=${w.arrayInput}"
+    }.mkString("|")
+    val lits = b.input.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${canonValue(v)}" }.mkString("|")
+    val doc = s"id=${b.id}\nslug=${b.slug}\nisArray=${ic.isArray}\n" +
+      s"lits=$lits\nwiring=$wiring"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic rendering of a literal input value (object keys
+    * sorted; bytes hashed raw, never via a UTF-8 round-trip). */
+  private def canonValue(v: PValue): String = v match {
+    case PStr(s)   => s"s:$s"
+    case PBytes(b) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      "b:" + md.digest(b).take(8).map("%02x".format(_)).mkString
+    case PNum(d)  => s"n:$d"
+    case PInt(l)  => s"i:$l"
+    case PBool(b) => s"t:$b"
+    case PArr(vs) => vs.map(canonValue).mkString("a:[", ",", "]")
+    case PObj(m)  => m.toSeq.sortBy(_._1)
+      .map { case (k, x) => s"$k=${canonValue(x)}" }.mkString("o:{", ",", "}")
+    case PNull    => "null"
+  }
+
+  /** Hadoop-FS view of a checkpoint path (works for hdfs://, s3a://,
+    * file:/ — a java.io.File probe would silently disable resume on
+    * any non-local checkpoint root). */
+  private def hfs(conf: BulkConfig, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(conf.spark.sessionState.newHadoopConf()), path)
+  }
+
+  private def checkpointCurrent(conf: BulkConfig, p: String, fp: String): Boolean = {
+    val (fs, path) = hfs(conf, p)
+    val ok = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    ok && {
+      val mf = new org.apache.hadoop.fs.Path(path, ManifestFile)
+      fs.exists(mf) && {
+        val in = fs.open(mf)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          new String(bytes.toByteArray, "UTF-8") == fp
+        } finally in.close()
+      }
+    }
+  }
+
+  private def writeManifest(conf: BulkConfig, p: String, fp: String): Unit = {
+    val (fs, path) = hfs(conf, p)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, ManifestFile), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   private def runBlock(spec: PipelineSpec, blockSpec: BlockSpec,
       stages: scala.collection.mutable.LinkedHashMap[String, DataFrame],
-      conf: BulkConfig): DataFrame = {
+      conf: BulkConfig, fp: String): DataFrame = {
       val op = conf.registry(blockSpec.id)
       val ic = blockSpec.inputConfig.getOrElse(InputConfig())
 
@@ -110,6 +193,9 @@ object BulkRunner {
         case Some(root) =>
           val path = s"$root/${spec.slug}/${blockSpec.slug}"
           out.write.mode("overwrite").parquet(path)
+          // manifest AFTER the parquet commit: a crash between the two
+          // leaves _SUCCESS without a manifest → recomputed on resume
+          writeManifest(conf, path, fp)
           // the parquet checkpoint cuts the lineage, so the zip's
           // interned property frames can be released now
           zipCleanup()

@@ -251,4 +251,60 @@ class BulkRunnerSpec extends AnyFunSuite {
         s"stage $slug must not be recomputed or rewritten on resume")
     }
   }
+
+  test("resume after a spec edit recomputes the edited stage and downstream") {
+    val root = java.nio.file.Files.createTempDirectory("bulk-stale").toString
+    val conf = BulkRunner.BulkConfig(spark, registry, Clients.mockCtx(),
+      checkpointDir = Some(root))
+    // full run: all four stages checkpointed under the ORIGINAL spec
+    BulkRunner.run(spec, Map.empty, conf)
+    val trSuccess = java.nio.file.Paths.get(root, spec.slug, "tr", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(trSuccess)
+
+    // edit stage 2's literal (wrap suffix "]" → ")") and resume: stage 1
+    // hydrates, stages 2-4 recompute off the NEW spec — a stale-manifest
+    // miss must not silently reuse the old parquet
+    val edited = spec.copy(blocks = spec.blocks.map {
+      case b if b.slug == "per-seg" =>
+        b.copy(input = b.input.updated("suffix", PStr(")")))
+      case b => b
+    })
+    val resumed = BulkRunner.run(edited, Map.empty, conf.copy(resume = true))
+    val resumedJoin = new String(
+      resumed("join").collect()(0).getAs[Array[Byte]]("value"), "UTF-8")
+    // fresh run of the edited spec in a clean dir = ground truth
+    val fresh = BulkRunner.run(edited, Map.empty,
+      BulkRunner.BulkConfig(spark, registry, Clients.mockCtx()))
+    val freshJoin = new String(
+      fresh("join").collect()(0).getAs[Array[Byte]]("value"), "UTF-8")
+    assert(resumedJoin == freshJoin && resumedJoin == "{alpha)|{beta)|{gamma)",
+      s"stale checkpoints must be recomputed: resumed=$resumedJoin fresh=$freshJoin")
+    assert(java.nio.file.Files.getLastModifiedTime(trSuccess) == t0,
+      "the unedited upstream stage must still hydrate, not recompute")
+
+    // the recomputed checkpoints now carry the edited fingerprints: a
+    // second resume with the same edited spec hydrates everything
+    val joinSuccess = java.nio.file.Paths.get(root, spec.slug, "join", "_SUCCESS")
+    val tj = java.nio.file.Files.getLastModifiedTime(joinSuccess)
+    val again = BulkRunner.run(edited, Map.empty, conf.copy(resume = true))
+    assert(new String(again("join").collect()(0)
+      .getAs[Array[Byte]]("value"), "UTF-8") == freshJoin)
+    assert(java.nio.file.Files.getLastModifiedTime(joinSuccess) == tj,
+      "an up-to-date checkpoint must hydrate on the second resume")
+  }
+
+  test("a checkpoint without a manifest (pre-manifest or torn write) recomputes") {
+    val root = java.nio.file.Files.createTempDirectory("bulk-nomanifest").toString
+    val conf = BulkRunner.BulkConfig(spark, registry, Clients.mockCtx(),
+      checkpointDir = Some(root))
+    BulkRunner.run(spec, Map.empty, conf)
+    val manifest = java.nio.file.Paths.get(root, spec.slug, "per-seg", "_graft_manifest")
+    assert(java.nio.file.Files.exists(manifest), "checkpoint must carry a manifest")
+    java.nio.file.Files.delete(manifest)
+    val resumed = BulkRunner.run(spec, Map.empty, conf.copy(resume = true))
+    assert(new String(resumed("join").collect()(0)
+      .getAs[Array[Byte]]("value"), "UTF-8") == "{alpha]|{beta]|{gamma]")
+    assert(java.nio.file.Files.exists(manifest),
+      "the recompute must rewrite the missing manifest")
+  }
 }
