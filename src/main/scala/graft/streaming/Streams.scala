@@ -142,6 +142,9 @@ object Streams {
   case class BandRow(band_idx: Int, band_hash: Int, doc_id: Long,
       ts: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long)
+  /** One band bucket's members: doc ids sorted ascending (binary-search
+    * membership) with the aligned arrival timestamps. */
+  case class BucketState(ids: Array[Long], tss: Array[Long])
 
   /** Streaming NEAR-dup detection — the incremental form of
     * `dd_minhash_lsh`: as documents arrive, each one's 32-slot MinHash
@@ -162,17 +165,27 @@ object Streams {
     * `flatMapGroupsWithState` — consumers dedup on (doc_a, doc_b), and
     * the spec asserts set-parity with the batch operator).
     *
-    * Scale: state is one SORTED doc-id array per OCCUPIED band bucket
-    * (binary-search membership, not a linear scan), and every bucket is
-    * evicted by an event-time timeout once the watermark passes its
-    * newest member by `horizonMinutes` — the sessionize pattern. On an
-    * infinite crawl stream, state is bounded by the documents inside
-    * the dedup horizon, never the whole history; near-dup buckets stay
-    * tiny by construction (a hot bucket would mean the band hash is
-    * degenerate). Pairs only form between documents whose arrival ts
-    * are within the horizon — the documented TTL semantics. */
+    * Scale and TTL semantics: state is one SORTED (doc_id, ts) member
+    * array per OCCUPIED band bucket (binary-search membership). Pairs
+    * only form between documents whose arrival ts are within
+    * `horizonMinutes` of each other — a true per-pair horizon, enforced
+    * at emission. Members whose ts has fallen behind
+    * `watermark − horizon` can never pair with a future arrival (new
+    * rows always carry ts ≥ watermark), so each invocation prunes them;
+    * a whole bucket is evicted by an event-time timeout once the
+    * watermark passes its newest member by the horizon. On an infinite
+    * crawl stream, state is bounded by the documents inside the
+    * horizon, never the whole history. Near-dup buckets stay tiny by
+    * construction (a hot bucket means a degenerate band hash), but a
+    * defensive `maxBucketMembers` cap keeps the worst case graceful:
+    * an arrival to a full bucket still pairs against the existing
+    * members but is not retained as a member itself, and the drop is
+    * counted on `drops` (so member↔member pairs stay complete; only
+    * dropped↔later-arrival pairs can be missed, visibly). */
   def nearDupStream(docs: DataFrame, corpus: DataFrame,
-      horizonMinutes: Int = 1440): DataFrame = {
+      horizonMinutes: Int = 1440,
+      maxBucketMembers: Int = 1024,
+      drops: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import graft.functions.{Dedup, MinHashRow}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -192,34 +205,57 @@ object Streams {
       .groupByKey(r => (r.band_idx, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (_: (Int, Int), rows: Iterator[BandRow], state: GroupState[Array[Long]]) => {
+        (_: (Int, Int), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toArray
-            val seen = state.getOption.getOrElse(Array.empty[Long])
-            val fresh = batch.map(_.doc_id).distinct
-              .filter(id => java.util.Arrays.binarySearch(seen, id) < 0)
-              .sorted
+            val wm = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
+            val prev = state.getOption.getOrElse(
+              BucketState(Array.empty[Long], Array.empty[Long]))
+            // prune members that can no longer pair: new arrivals carry
+            // ts >= wm, so ts < wm - horizon means every future |Δts|
+            // exceeds the horizon (MinValue wm in batch → keep all)
+            val pruneBefore =
+              if (wm == Long.MinValue) Long.MinValue else wm - horizonMs
+            val keep = prev.tss.indices.filter(i => prev.tss(i) >= pruneBefore)
+            var ids = if (keep.length == prev.ids.length) prev.ids
+              else keep.map(prev.ids).toArray
+            var tss = if (keep.length == prev.tss.length) prev.tss
+              else keep.map(prev.tss).toArray
+            // first arrival wins per doc; insertion in arrival order so
+            // the cap retains the EARLIEST members deterministically
+            val fresh = batch.groupBy(_.doc_id).iterator
+              .map { case (id, rs) => (id, rs.iterator.map(_.ts.getTime).min) }
+              .filter { case (id, _) =>
+                java.util.Arrays.binarySearch(ids, id) < 0 }
+              .toArray.sortBy { case (id, t) => (t, id) }
             val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-            var acc = seen
-            fresh.foreach { id =>
-              acc.foreach { other =>
-                out += CandPair(math.min(other, id), math.max(other, id))
+            fresh.foreach { case (id, t) =>
+              var i = 0
+              while (i < ids.length) {
+                if (math.abs(t - tss(i)) <= horizonMs)
+                  out += CandPair(math.min(ids(i), id), math.max(ids(i), id))
+                i += 1
               }
-              val pos = -java.util.Arrays.binarySearch(acc, id) - 1
-              val grown = new Array[Long](acc.length + 1)
-              System.arraycopy(acc, 0, grown, 0, pos)
-              grown(pos) = id
-              System.arraycopy(acc, pos, grown, pos + 1, acc.length - pos)
-              acc = grown
+              if (ids.length < maxBucketMembers) {
+                val pos = -java.util.Arrays.binarySearch(ids, id) - 1
+                val gIds = new Array[Long](ids.length + 1)
+                val gTss = new Array[Long](tss.length + 1)
+                System.arraycopy(ids, 0, gIds, 0, pos)
+                System.arraycopy(tss, 0, gTss, 0, pos)
+                gIds(pos) = id; gTss(pos) = t
+                System.arraycopy(ids, pos, gIds, pos + 1, ids.length - pos)
+                System.arraycopy(tss, pos, gTss, pos + 1, tss.length - pos)
+                ids = gIds; tss = gTss
+              } else drops.foreach(_.add(1))
             }
-            state.update(acc)
-            if (streaming) {
-              // rows older than the watermark were dropped upstream, so
-              // maxTs + horizon is always ahead of the current watermark
-              val maxTs = batch.iterator.map(_.ts.getTime).max
-              state.setTimeoutTimestamp(
-                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+            if (ids.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(BucketState(ids, tss))
+              if (streaming)
+                // when the watermark passes the newest member by the
+                // horizon every member is prunable — evict the bucket
+                state.setTimeoutTimestamp(math.max(tss.max + horizonMs, wm + 1))
             }
             out.iterator
           }

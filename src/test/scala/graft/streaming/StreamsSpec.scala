@@ -210,4 +210,63 @@ class StreamsSpec extends AnyFunSuite {
         s"in-horizon pair must still surface: $streamed")
     } finally q.stop()
   }
+
+  test("chained arrivals in one live bucket respect the per-pair horizon") {
+    import StreamsSpec.Doc
+    // three identical docs land in the same buckets at t0, t0+54m,
+    // t0+108m with a 60-minute horizon: the bucket never goes quiet, yet
+    // (a, c) at 108m apart must NOT pair while the adjacent pairs do —
+    // the per-pair |Δts| filter, not bucket eviction, is what bounds it
+    val text = (0 until 30).map(i => s"chain tok$i common body").mkString(" ")
+    // ts(1) not ts(0): an event AT the initial watermark (epoch 0) is
+    // dropped as late by the event-time-timeout operator
+    val corpus = Seq(Doc(1, ts(1), text), Doc(2, ts(55), text),
+      Doc(3, ts(109), text)).toDF()
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus, horizonMinutes = 60)
+    val q = out.writeStream.format("memory").queryName("near_dup_chain")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, ts(1), text)); q.processAllAvailable()
+      mem.addData(Doc(2, ts(55), text)); q.processAllAvailable()
+      mem.addData(Doc(3, ts(109), text)); q.processAllAvailable()
+      val streamed = spark.table("near_dup_chain").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((1L, 2L), (2L, 3L)),
+        s"chained session must not pair past the horizon: $streamed")
+    } finally q.stop()
+  }
+
+  test("a degenerate hot bucket is capped with a visible drop counter") {
+    import StreamsSpec.Doc
+    // 20 identical docs inside one horizon all hash to the same 16 band
+    // buckets; with a cap of 8 members per bucket, arrivals 9-20 pair
+    // against the retained members but are dropped as members (16 band
+    // buckets × 12 capped arrivals on the accumulator)
+    val text = (0 until 30).map(i => s"hot tok$i shared body").mkString(" ")
+    val n = 20; val cap = 8
+    val corpus = (1 to n).map(i => Doc(i, ts(i), text)).toDF()
+    val dropAcc = spark.sparkContext.longAccumulator("nearDupBucketDrops")
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus, horizonMinutes = 60,
+      maxBucketMembers = cap, drops = Some(dropAcc))
+    val q = out.writeStream.format("memory").queryName("near_dup_cap")
+      .outputMode("append").start()
+    try {
+      (1 to n).foreach { i =>
+        mem.addData(Doc(i, ts(i), text)); q.processAllAvailable()
+      }
+      val streamed = spark.table("near_dup_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every arrival pairs with the first `cap` retained members
+      val expected = (for {
+        j <- 2 to n; i <- 1 to math.min(j - 1, cap)
+      } yield (i.toLong, j.toLong)).toSet
+      assert(streamed == expected,
+        s"capped bucket must still pair against retained members: " +
+          s"missing=${expected -- streamed} extra=${streamed -- expected}")
+      assert(dropAcc.value == 16L * (n - cap),
+        s"drops must be visible: ${dropAcc.value}")
+    } finally q.stop()
+  }
 }
