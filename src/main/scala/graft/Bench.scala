@@ -24,19 +24,26 @@ object Bench {
     // Two full passes, per-query min: a concurrent job on the host
     // inflates one pass, not both, so the min is the code's number while
     // the per-pass totals expose the contention instead of corrupting
-    // the round-over-round signal.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // the round-over-round signal. A pass that THROWS yields None — its
+    // fast time-to-failure must never win the min over a succeeding
+    // pass; a query failing both passes is reported in "failed" with -1.
+    def pass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = p1.map { case (k, v) =>
+      k -> (v.toSeq ++ p2(k).toSeq).minOption }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totals = s"[${p1.values.sum},${p2.values.sum}]"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$totals,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.flatten.sum
+    def passTotal(p: Map[String, Option[Double]]) = p.values.flatten.sum
+    val totals = s"[${passTotal(p1)},${passTotal(p2)}]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$totals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,7 +38,8 @@ def main(sfdir, outdir):
             # DuckDB HUGEINT (raw sum()) surfaces as float64/object and
             # fails the gate (round-4 ta_report et al). Emulate that.
             def norm(d):
-                d = str(d)
+                # lowercase first: pandas nullable 'Int64' must match 'int64'
+                d = str(d).lower()
                 return "int" if d.startswith(("int", "uint")) else d
             gd, ed = [norm(d) for d in g.dtypes], [norm(d) for d in e.dtypes]
             if gd != ed:
