@@ -399,6 +399,9 @@ object TextAnalysis {
     "ta_split"       -> taSplit _,
     "ta_shuffle"     -> taShuffle _,
     "ta_vocab"       -> ((s: SparkSession, d: String) => taVocab(s, d)),
+    // k=10 < the gate corpus's 31-token vocabulary, so the TakeOrdered
+    // cut BINDS under the oracle (the k=1000 row never stresses it)
+    "ta_vocab_k10"   -> ((s: SparkSession, d: String) => taVocab(s, d, 10)),
   )
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -587,6 +590,20 @@ object TextAnalysis {
         |          FROM tok GROUP BY tok),
         |tot AS (SELECT sum(tf) AS total_tf FROM stats),
         |top AS (SELECT * FROM stats ORDER BY tf DESC, tok LIMIT 1000)
+        |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank,
+        |  tok, tf, ddf,
+        |  CAST((10000 * sum(tf) OVER (ORDER BY tf DESC, tok
+        |     ROWS UNBOUNDED PRECEDING)) // total_tf AS BIGINT) AS cum_bp
+        |FROM top, tot ORDER BY rank""".stripMargin,
+    "ta_vocab_k10" ->
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(string_split_regex(trim(text),'\s+')) AS tok
+        |             FROM documents),
+        |stats AS (SELECT tok, count(*) AS tf,
+        |            count(DISTINCT doc_id) AS ddf
+        |          FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(tf) AS total_tf FROM stats),
+        |top AS (SELECT * FROM stats ORDER BY tf DESC, tok LIMIT 10)
         |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank,
         |  tok, tf, ddf,
         |  CAST((10000 * sum(tf) OVER (ORDER BY tf DESC, tok
