@@ -183,7 +183,7 @@ object BulkRunner {
           case (true, true)   => col(name).cast("array<string>")
           case (false, true)  => lit(null).cast("array<string>")
           case (true, false)  =>
-            coalesce(col(name).cast("string"), litFor(fallback))
+            coalesce(col(name).cast("string"), litFor(fallback).cast("string"))
           case (false, false) => litFor(fallback)
         }
       }
@@ -220,6 +220,10 @@ object BulkRunner {
 
   private def litFor(v: Option[PValue]): Column = v match {
     case Some(PNull) | None => lit(null).cast("string")
+    // a binary literal must reach TFile props as raw bytes: a UTF-8
+    // round-trip through asString corrupts non-UTF8 payloads (the
+    // control-plane Runner keeps them intact via PropSpec.castTo)
+    case Some(PBytes(b))    => lit(b)
     case Some(x)            => lit(x.asString)
   }
 
