@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
   * N× (fresh ids, perturbed text so dedup groups don't explode) and
   * time the heavy operators — evidence that candidate generation stays
   * near-linear instead of quadratic. Run:
-  *   sbt "runMain graft.ScaleSmoke [factor]"
+  *   sbt "runMain graft.ScaleSmoke [factor] [op,op,...]"
+  * The optional second arg restricts to named operators (substring
+  * match) for focused scaling experiments at large factors.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val only: String => Boolean = args.lift(1) match {
+      case Some(names) =>
+        val wanted = names.split(",").toSeq; n => wanted.exists(n.contains)
+      case None => _ => true
+    }
     val spark = Graft.sessionBuilder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -52,7 +59,7 @@ object ScaleSmoke {
     println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
       s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
         else "cap does not bind"}")
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (only(name)) {
       val t0 = System.nanoTime(); val rows = f
       println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s   rows=$rows")
     }
@@ -60,6 +67,12 @@ object ScaleSmoke {
     import graft.functions._
     time("dd_exact")(Dedup.ddExact(spark, big).count())
     time("dd_ngram_jaccard")(Dedup.ddNgramJaccard(spark, big).count())
+    // candidate count alongside wall-clock: the verify is candidate-
+    // proportional, so wall growing faster than candidates would flag a
+    // super-linear term hiding in the operator
+    time("mh_candidates")(Dedup.minhashCandidates(
+      Tables.t(spark, big, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))).count())
     time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
     time("dd_cluster")(Dedup.ddCluster(spark, big).count())
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())

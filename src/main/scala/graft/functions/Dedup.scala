@@ -200,6 +200,33 @@ object Dedup {
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
+    // shared two-tier exact verification (see exactVerify)
+    exactVerify(minhashCandidates(docs), docs)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The LSH candidate pairs BEFORE exact verification — factored out
+    * so the scale smoke can measure candidate growth against wall-clock
+    * growth (the verify cost is candidate-proportional by design).
+    *
+    * Hot-bucket cap (the band-join analogue of the ngram dfCap): a
+    * band bucket with m members emits m(m−1)/2 candidate instances, so
+    * a DEGENERATE band hash — e.g. a corpus-wide boilerplate suffix
+    * capturing both minhash slots of a band — turns the join quadratic.
+    * Measured at 20× sf0.1: 4 buckets over 256 members carried 6.9M of
+    * the 7.4M candidate instances while all 5120 true pairs kept
+    * colliding in healthy content bands. Buckets larger than
+    * `maxBucket` therefore emit nothing; total candidates are bounded
+    * by 8·maxBucket·N — linear in the corpus. A true j ≥ 0.5 pair
+    * collides in 4 of 16 bands in expectation, so losing a degenerate
+    * band leaves recall intact (the lsh == exact spec and the DuckDB
+    * oracle pin this at the gate SFs, where no bucket nears the cap);
+    * run dd_exact first so giant IDENTICAL-doc clusters never reach
+    * the near-dup pass. The cap is a deterministic function of the
+    * corpus, so the operator stays oracle-checkable. Default mirrors
+    * the streaming variant's per-bucket member cap. */
+  private[graft] def minhashCandidates(docs: DataFrame,
+      maxBucket: Int = 1024): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
     // custom Catalyst aggregate: one 32-slot sketch buffer per doc
     // (map-side-combined, pairwise-min merge) instead of 32 separate
@@ -209,15 +236,19 @@ object Dedup {
     val bands = sigs.select(col("doc_id"),
         posexplode(array(bandHashCols(col("sig")): _*))
           .as(Seq("band_idx", "band_hash")))
-    val cand = bands.alias("a").join(bands.alias("b"),
+    // window count (not a separate agg + semi-join): one exchange on
+    // the band key that the self-join below then reuses for both sides
+    val kept = bands
+      .withColumn("bucket_m", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_hash")))
+      .where(col("bucket_m") <= maxBucket)
+      .drop("bucket_m")
+    kept.alias("a").join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // shared two-tier exact verification (see exactVerify)
-    exactVerify(cand, docs)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup: frequency-weighted 64-bit simhash over token
