@@ -259,7 +259,19 @@ object Dedup {
     * 64 `sum(±1)` aggregates in one codegen'd groupBy (bit b of the
     * simhash is set iff more than half the token hashes have bit b set,
     * i.e. iff the signed sum is > 0) — not by a 64-step interpreted
-    * `aggregate(sequence(0,63), filter(...))` pass per document. */
+    * `aggregate(sequence(0,63), filter(...))` pass per document.
+    *
+    * Bucket-density ceiling (documented scale bound): each of the 4
+    * chunk keys has only 2¹⁶ values, so expected bucket size is
+    * N/65536 and candidate instances grow as ~N²/2¹⁵ — negligible up
+    * to tens of millions of documents (at 20× ScaleSmoke, 100k docs,
+    * mean bucket size is ~1.5), but inherently quadratic beyond that.
+    * Past ~10⁸ documents, widen the band keys to chunk PAIRS (6 tables
+    * of 32-bit keys — the Manku/Jain/Sarma WWW'07 construction; trades
+    * the measured 0.92 recall for a guaranteed-collision bound at
+    * lower Hamming radii) or shard the pass by a coarse content key
+    * (lang, source). The minhash operator is the default near-dup path
+    * at that scale; simhash is the cheap high-precision screen. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -145,6 +145,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("minhash band self-join reuses the bucket-count window exchange") {
+    // the hot-bucket cap rides a window over the band key; both sides
+    // of the candidate self-join must then REUSE that exchange, or the
+    // whole signature pipeline (scan → shingles → explode → minhash
+    // aggregate) would execute twice
+    val df = graft.functions.Dedup.ddMinhashLsh(spark, sf)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+  }
+
   test("ta_vocab cuts the vocabulary with TakeOrdered, not a global sort") {
     val plan = planOf(graft.functions.TextAnalysis.taVocab(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
