@@ -153,17 +153,27 @@ object TextAnalysis {
       queryTerms.map(qt => s"'$qt', tf_$qt").mkString(", ") + ") AS (term, tf)"
     val tf = perDoc.select(col("doc_id"), col("dl"), expr(stackExpr))
       .where(col("tf") > 0)
-    // exact long sum / long count → bit-identical double in any engine
-    // (a float avg would accumulate in engine-specific order)
-    val consts = perDoc.agg(sum("dl").as("sumdl"), count(lit(1)).as("ndocs"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE auxiliary broadcast row carries the corpus constants AND the
+    // per-term dfs (df_qt = docs with tf_qt > 0 — identical to counting
+    // the filtered stack rows per term), collapsing the previous
+    // three-branch shape (tf rows, consts, per-term df — one full token
+    // explode + aggregate pass EACH, since their differing column
+    // pruning defeats exchange reuse) to two corpus passes. Exact long
+    // sums / long counts → bit-identical doubles in any engine.
+    val aux = perDoc.agg(sum(col("dl")).as("sumdl"),
+      (count(col("doc_id")).as("ndocs") +: queryTerms.map(qt =>
+        sum(when(col(s"tf_$qt") > 0, 1L).otherwise(0L)).as(s"df_$qt"))): _*)
+    val dfCase = queryTerms.tail.foldLeft(
+      when(col("term") === queryTerms.head, col(s"df_${queryTerms.head}"))) {
+      (acc, qt) => acc.when(col("term") === qt, col(s"df_$qt"))
+    }
     val avgdl = col("sumdl").cast("double") / col("ndocs")
     val idf = log((col("ndocs").cast("double") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
     val score = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(df_), "term")
-      .crossJoin(broadcast(consts))
+    tf.crossJoin(broadcast(aux))
+      .withColumn("df", dfCase)
       .groupBy("doc_id")
       .agg(round(sum(score) * 1e6).cast("long").as("bm25_micro"),
         count(lit(1)).as("n_matched_terms"))
