@@ -50,6 +50,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall gap: missing ${exact -- lsh}")
   }
 
+  test("minhash bucket cap drops degenerate bands without losing true pairs") {
+    import org.apache.spark.sql.functions._
+    // corpus-wide boilerplate makes some band hashes degenerate (their
+    // buckets approach corpus size); a tight cap must drop those
+    // buckets' quadratic candidates while every true pair still
+    // surfaces through healthy content bands
+    // the ScaleSmoke construction at test scale: 10 copies with per-copy
+    // token prefixes (fresh shingle vocabulary per copy — the corpus
+    // GROWS) plus a SHARED small boilerplate suffix on copies >= 1. The
+    // boilerplate contributes only ~3 of ~60 union shingles per cross
+    // pair (j << 0.5 — it can never CREATE a true pair) but captures
+    // some bands' minhash slots across 4500 docs, turning those buckets
+    // degenerate. The cap must drop their quadratic candidates without
+    // losing any verified pair.
+    val base = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val n = base.count()
+    val replicated = base
+      .crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * n).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(array_join(transform(split(col("text"), " "),
+            t => concat(lit("v"), col("copy"), lit("·"), t)), " "),
+            lit(" legal notice all rights reserved"))).as("text"))
+    val docs = replicated
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+    val uncapped = Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue)
+    val capped = Dedup.minhashCandidates(docs, maxBucket = 64)
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    assert(nCapped < nUncapped / 2,
+      s"cap must prune the degenerate-band candidates: $nCapped vs $nUncapped")
+    val truthFrom = (c: org.apache.spark.sql.DataFrame) =>
+      Dedup.exactVerify(c, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthUncapped = truthFrom(uncapped)
+    assert(truthUncapped.nonEmpty, "corpus should contain planted near-dups")
+    assert(truthFrom(capped) == truthUncapped,
+      "capping degenerate buckets must not lose verified pairs")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val exact = Dedup.ddNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
