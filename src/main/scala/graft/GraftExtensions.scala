@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   SELECT rolling_hash(text), shingles3(text), cdc_chunks(text),
   *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k'),
-  *          minhash32(sh), simhash64(sh)
+  *          minhash32(sh), minhash32_row(shs), simhash64(sh)
   *
   * All are native `Expression`s / typed aggregates (no UDF
   * serialization boundary); rolling_hash and dot_f64 carry `doGenCode`
@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "minhash32"),
       arity("minhash32", 1)(e =>
         graft.functions.MinHashAgg(e.head).toAggregateExpression())))
+    ext.injectFunction((new FunctionIdentifier("minhash32_row"),
+      new ExpressionInfo(classOf[graft.functions.MinHashRow].getName, "minhash32_row"),
+      arity("minhash32_row", 1)(e => graft.functions.MinHashRow(e.head))))
     ext.injectFunction((new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash64"),
       arity("simhash64", 1)(e =>

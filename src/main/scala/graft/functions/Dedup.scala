@@ -154,11 +154,23 @@ object Dedup {
     * for the survivors. Output: (doc_a, doc_b, jaccard) at j ≥ 0.5,
     * collision-proof, unordered.
     *
+    * Shape note: the four doc-side join branches below (hash arrays as
+    * doc_a/doc_b, string arrays as doc_a/doc_b) all hang off ONE
+    * explicit exchange of (doc_id, shs) on doc_id — identical subtrees,
+    * so the corpus scan + ShingleArray pass executes once and the other
+    * three branches are ReusedExchange reads (the same pattern as the
+    * band-window reuse in [[minhashCandidates]]). Without it Spark
+    * re-reads and re-shingles the corpus once per branch: four extra
+    * full passes at 100 TB for a verify whose probe side (the candidate
+    * set) is tiny.
+    *
     * @param cand candidate pairs (doc_a, doc_b)
     * @param docs (doc_id, shs) — each doc's distinct shingle array
     */
   private[graft] def exactVerify(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val hsh = docs.select(col("doc_id"), size(col("shs")).as("n"),
+    val base = docs.select(col("doc_id"), col("shs"))
+      .repartition(col("doc_id"))
+    val hsh = base.select(col("doc_id"), size(col("shs")).as("n"),
       array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
     val tier1 = cand.select("doc_a", "doc_b")
       .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
@@ -170,8 +182,8 @@ object Dedup {
         (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
       .select("doc_a", "doc_b")
     tier1
-      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb"))).cast("double"), 4))
@@ -199,13 +211,17 @@ object Dedup {
     * 32 minhashes (murmur3 with 32 seeds) banded 16×2; candidates from
     * band-hash equi-join; exact Jaccard verification on candidates only.
     *
-    * Shape note: the signature is computed by exploding shingles and
-    * taking 32 `min(hash(sh, k))` aggregates in ONE codegen'd
-    * partial-aggregated groupBy — not by nested higher-order lambdas.
-    * Nested `transform(.., array_min(transform(..)))` stays interpreted
-    * and gets duplicated per band reference by CollapseProject, which
-    * made this operator ~40× slower; explode+agg is also the shape that
-    * scales (map-side combine, one shuffle on doc_id). */
+    * Shape note: the signature is a single per-row expression pass
+    * over each document's shingle array ([[MinHashRow]] — bit-identical
+    * to the [[MinHashAgg]] sketch, pinned by ExpressionParitySpec), so
+    * the signature stage is map-only: no explode, no shuffle, no
+    * aggregation hash map. The first shuffle in the whole operator is
+    * the band-key exchange that the candidate self-join then reuses.
+    * (Not nested higher-order lambdas: `transform(.., array_min(
+    * transform(..)))` stays interpreted and gets duplicated per band
+    * reference by CollapseProject, which made this operator ~40×
+    * slower. [[MinHashAgg]] remains the distributed-aggregate form for
+    * when shingles arrive as rows, e.g. SQL `minhash32(sh) GROUP BY`.) */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
@@ -236,12 +252,10 @@ object Dedup {
     * the streaming variant's per-bucket member cap. */
   private[graft] def minhashCandidates(docs: DataFrame,
       maxBucket: Int = 1024): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // custom Catalyst aggregate: one 32-slot sketch buffer per doc
-    // (map-side-combined, pairwise-min merge) instead of 32 separate
-    // min(hash) aggregate columns
-    val sigs = ex.groupBy("doc_id")
-      .agg(MinHashAgg.minhash32(col("sh")).as("sig"))
+    // per-row sketch over the doc's own shingle array: map-only, the
+    // same 32-slot signature the streaming variant projects
+    val sigs = docs.select(col("doc_id"),
+      MinHashRow.minhash32_row(col("shs")).as("sig"))
     val bands = sigs.select(col("doc_id"),
         posexplode(array(bandHashCols(col("sig")): _*))
           .as(Seq("band_idx", "band_hash")))

@@ -124,6 +124,12 @@ class ExpressionParitySpec extends AnyFunSuite {
     corpus.foreach { text =>
       assert(viaRow(text) == viaAgg(text), s"divergence on '$text'")
     }
+    // the per-row form is SQL-injected too
+    df.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT text, minhash32_row(shs) AS sig FROM mh_docs").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    corpus.foreach(text => assert(viaSql(text) == viaRow(text), text))
   }
 
   test("CdcChunks equals the filtered-cuts HOF formulation and is edit-local") {

@@ -148,13 +148,33 @@ class PlanSpec extends AnyFunSuite {
   test("minhash band self-join reuses the bucket-count window exchange") {
     // the hot-bucket cap rides a window over the band key; both sides
     // of the candidate self-join must then REUSE that exchange, or the
-    // whole signature pipeline (scan → shingles → explode → minhash
-    // aggregate) would execute twice
+    // whole signature pipeline (scan → shingles → minhash32_row →
+    // band posexplode) would execute twice
     val df = graft.functions.Dedup.ddMinhashLsh(spark, sf)
     df.collect() // AQE: reuse nodes appear only in the final plan
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("ReusedExchange"), plan.take(3000))
+    // the signature stage is a map-only per-row sketch — no explode +
+    // groupBy aggregate (and so no doc_id exchange) feeding the bands
+    assert(plan.contains("minhash32_row"), plan.take(3000))
+    assert(!plan.contains("partial_minhash32("), plan.take(3000))
+    // the whole operator reads the corpus exactly twice in the FINAL
+    // plan: once for the band pipeline, once for the shared verify
+    // base — the four verify join branches ride ReusedExchange /
+    // reused-broadcast instead of re-scanning and re-shingling
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 2, finalPlan.take(3000))
+  }
+
+  test("near-dup verify computes the shingle pass once behind a reused doc_id exchange") {
+    val df = graft.functions.Dedup.ddNgramJaccard(spark, sf)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("REPARTITION_BY_COL"), finalPlan.take(3000))
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
+    // one scan feeds candidate generation, one feeds the verify base
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 2, finalPlan.take(3000))
   }
 
   test("ta_vocab cuts the vocabulary with TakeOrdered, not a global sort") {
