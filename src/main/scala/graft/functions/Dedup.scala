@@ -99,9 +99,23 @@ object Dedup {
         val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
         math.max(64L, 8L * math.round(math.sqrt(nDocs.toDouble))).toInt
       }
-    val docs = t(spark, dir, "documents")
+    // ONE corpus pass for the whole operator: scan + ShingleArray,
+    // exchanged once on doc_id. The exploded candidate stream below and
+    // all four verify branches inside exactVerify read this exchange
+    // back (identical subtrees → ReusedExchange), so the expensive
+    // shingle pass never re-executes.
+    // (the explicit filters match what the optimizer infers on each
+    // consumer — isNotNull(doc_id) from the verify joins, non-empty
+    // shingles from the explode; making them part of the shared base
+    // keeps the two subtrees IDENTICAL so the exchange is reused. Docs
+    // with no shingles can never witness a pair, so the size filter is
+    // semantically free.)
+    val base = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
-      .withColumn("n", size(col("shs")))
+      .where(col("doc_id").isNotNull && size(col("shs")) > 0 &&
+        col("shs").isNotNull)
+      .repartition(col("doc_id"))
+    val docs = base.withColumn("n", size(col("shs")))
     // 64-bit shingle hashes as join keys: fixed-width keys halve the
     // shuffle vs strings (measured 2.3×); safe because of step 3.
     val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("shStr"))
@@ -142,7 +156,7 @@ object Dedup {
     // is a superset of the true pairs. Tier 2 recomputes Jaccard on the
     // exact string arrays for the few survivors — the output is
     // collision-proof.
-    exactVerify(cand, docs.select("doc_id", "shs"))
+    exactVerify(cand, base)
   }
 
   /** Two-tier exact verification of candidate pairs — SHARED by every
@@ -162,7 +176,12 @@ object Dedup {
     * band-window reuse in [[minhashCandidates]]). Without it Spark
     * re-reads and re-shingles the corpus once per branch: four extra
     * full passes at 100 TB for a verify whose probe side (the candidate
-    * set) is tiny.
+    * set) is tiny. Callers that derive their CANDIDATE stream from the
+    * same arrays pass an already-`repartition(doc_id)`'d frame — the
+    * identity projection and double repartition collapse in the
+    * optimizer (RemoveNoopOperators + CollapseRepartition), leaving one
+    * exchange that candidate generation and verify share: the whole
+    * operator then reads the corpus exactly once (pinned in PlanSpec).
     *
     * @param cand candidate pairs (doc_a, doc_b)
     * @param docs (doc_id, shs) — each doc's distinct shingle array
@@ -223,10 +242,15 @@ object Dedup {
     * slower. [[MinHashAgg]] remains the distributed-aggregate form for
     * when shingles arrive as rows, e.g. SQL `minhash32(sh) GROUP BY`.) */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // ONE corpus pass: the signature/band stream and all four verify
+    // branches read the same doc_id exchange back (ReusedExchange), so
+    // the scan + ShingleArray pass executes exactly once
+    val base = t(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("shs"))
+      .where(col("doc_id").isNotNull) // match the verify joins' inferred filter
+      .repartition(col("doc_id"))
     // shared two-tier exact verification (see exactVerify)
-    exactVerify(minhashCandidates(docs), docs)
+    exactVerify(minhashCandidates(base), base)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -159,12 +159,12 @@ class PlanSpec extends AnyFunSuite {
     // groupBy aggregate (and so no doc_id exchange) feeding the bands
     assert(plan.contains("minhash32_row"), plan.take(3000))
     assert(!plan.contains("partial_minhash32("), plan.take(3000))
-    // the whole operator reads the corpus exactly twice in the FINAL
-    // plan: once for the band pipeline, once for the shared verify
-    // base — the four verify join branches ride ReusedExchange /
-    // reused-broadcast instead of re-scanning and re-shingling
+    // the whole operator reads the corpus exactly ONCE in the FINAL
+    // plan: the band pipeline and the four verify join branches all
+    // read the shared doc_id exchange back (ReusedExchange / reused
+    // broadcast) instead of re-scanning and re-shingling
     val finalPlan = plan.split("== Initial Plan ==").head
-    assert("Scan parquet".r.findAllIn(finalPlan).length == 2, finalPlan.take(3000))
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
   }
 
   test("near-dup verify computes the shingle pass once behind a reused doc_id exchange") {
@@ -173,8 +173,8 @@ class PlanSpec extends AnyFunSuite {
     val finalPlan = planOf(df).split("== Initial Plan ==").head
     assert(finalPlan.contains("REPARTITION_BY_COL"), finalPlan.take(3000))
     assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
-    // one scan feeds candidate generation, one feeds the verify base
-    assert("Scan parquet".r.findAllIn(finalPlan).length == 2, finalPlan.take(3000))
+    // candidate generation and the verify base share the single scan
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
   }
 
   test("ta_vocab cuts the vocabulary with TakeOrdered, not a global sort") {
