@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   SELECT rolling_hash(text), shingles3(text), cdc_chunks(text),
   *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k'),
-  *          minhash32(sh), minhash32_row(shs), simhash64(sh)
+  *          minhash32(sh), minhash32_row(shs), simhash64(sh),
+  *          simhash64_row(hs)
   *
   * All are native `Expression`s / typed aggregates (no UDF
   * serialization boundary); rolling_hash and dot_f64 carry `doGenCode`
@@ -56,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash64"),
       arity("simhash64", 1)(e =>
         graft.functions.SimHashAgg(e.head).toAggregateExpression())))
+    ext.injectFunction((new FunctionIdentifier("simhash64_row"),
+      new ExpressionInfo(classOf[graft.functions.SimHashRow].getName, "simhash64_row"),
+      arity("simhash64_row", 1)(e => graft.functions.SimHashRow(e.head))))
     ext.injectFunction((new FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[graft.functions.CdcChunks].getName, "cdc_chunks"),
       arity("cdc_chunks", 1)(e => graft.functions.CdcChunks(e.head))))

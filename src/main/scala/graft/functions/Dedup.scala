@@ -320,15 +320,15 @@ object Dedup {
     * (lang, source). The minhash operator is the default near-dup path
     * at that scale; simhash is the cheap high-precision screen. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // custom Catalyst aggregate: one 64-counter buffer per doc (strict
-    // bit-majority rule, counter-wise merge) instead of 64 separate
-    // conditional-sum aggregate columns
-    val docs = toks.groupBy("doc_id")
-      .agg(SimHashAgg.simhash64(col("h")).as("simhash"))
+    // per-row signature over the doc's own token-hash array: map-only
+    // (no explode + groupBy shuffle of every token hash; [[SimHashRow]]
+    // is bit-identical to the SimHashAgg aggregate). The null filter
+    // mirrors the old explode semantics: a null text produced no rows,
+    // hence no signature.
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), SimHashRow.simhash64_row(
+        transform(split(trim(col("text")), "\\s+"), xxhash64(_))).as("simhash"))
+      .where(col("simhash").isNotNull)
     val chunkCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
     val chunks = docs.select(col("doc_id"), col("simhash"),

@@ -132,6 +132,32 @@ class ExpressionParitySpec extends AnyFunSuite {
     corpus.foreach(text => assert(viaSql(text) == viaRow(text), text))
   }
 
+  test("SimHashRow equals the SimHashAgg signature bit for bit") {
+    import graft.functions.SimHashRow
+    // edge cases: empty string (one "" token), single token, repeated
+    // tokens (frequency-weighted majority), a tie at n=2 (strict rule)
+    val corpus = Seq("a b c d e f", "one two three", "dup dup dup",
+      "x", "", "x y")
+    val df = corpus.toDF("text")
+    val viaRow = df.select(col("text"), SimHashRow.simhash64_row(
+        transform(split(trim(col("text")), "\\s+"), xxhash64(_))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaAgg = df
+      .select(col("text"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("text")
+      .agg(graft.functions.SimHashAgg.simhash64(xxhash64(col("tok"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    corpus.foreach { text =>
+      assert(viaRow(text) == viaAgg(text), s"divergence on '$text'")
+    }
+    // SQL-injected form agrees
+    df.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql("SELECT text, simhash64_row(transform(" +
+        "split(trim(text), '\\\\s+'), t -> xxhash64(t))) AS sig FROM sh_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    corpus.foreach(text => assert(viaSql(text) == viaRow(text), text))
+  }
+
   test("CdcChunks equals the filtered-cuts HOF formulation and is edit-local") {
     import graft.functions.CdcChunks
     val corpus = Seq(
