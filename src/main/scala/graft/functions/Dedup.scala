@@ -460,7 +460,17 @@ object Dedup {
   def ddSpan(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame = {
     // null text excluded EXPLICITLY (mirrored in the oracle): the
     // exploded instance stream drops such docs implicitly, which would
-    // silently diverge from the oracle's LEFT JOIN keeping them
+    // silently diverge from the oracle's LEFT JOIN keeping them.
+    //
+    // Shape note: span df stays the distinct+hash-agg+join-back form
+    // deliberately. The dense_rank-window rewrite that won for dd_cdc
+    // loses here 25× (0.4 → 10.8 s at 20×): a sliding 5-token gram
+    // stream is ~|tokens| rows — sorting it for the window costs far
+    // more than recomputing the cheap explode+md5 for the join branch,
+    // and AQE broadcasts the small ≥minDocs gram set so the instance
+    // stream is never exchanged at all. (dd_cdc's chunk stream is ~16×
+    // smaller and its chunker is the dominant cost, which flips the
+    // trade — see ddCdc.)
     val docs = t(spark, dir, "documents")
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
@@ -500,27 +510,32 @@ object Dedup {
     * documents, and the duplicated fraction in basis points.
     *
     * Shape at 100 TB: chunking is a pure per-row expression (no
-    * shuffle); chunk df is one hash aggregate over (doc, fingerprint)
-    * distinct pairs; the instance join uses the same fixed-width
-    * 60-bit md5 keys as [[ddSpan]]. */
+    * shuffle); chunk df rides ONE exchange on the fixed-width 60-bit
+    * md5 fingerprint (dense_rank + max window = distinct-doc count),
+    * then one per-doc aggregate — the corpus is read and chunked
+    * exactly once, same shape as [[ddSpan]]. */
   def ddCdc(spark: SparkSession, dir: String): DataFrame = {
     // one-pass native chunker (see CdcChunks scaladoc for why the HOF
     // formulation was quadratic); every doc yields >= 1 chunk, so the
     // per-doc chunk count falls out of the same instance aggregation
+    // ONE corpus pass: the chunk df (distinct docs per fingerprint) is
+    // dense_rank + max over the fingerprint window instead of a
+    // distinct+agg+join-back — the join shape re-ran the scan AND the
+    // native chunker once per branch (chunking is the dominant cost)
     val inst = t(spark, dir, "documents")
       .where(col("text").isNotNull) // mirrored in the oracle, as in ddSpan
       .select(col("doc_id"),
         explode(CdcChunks.cdc_chunks(col("text"))).as("chunk"))
       .select(col("doc_id"),
         conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("g"))
-    val dupChunks = inst.distinct()
-      .groupBy("g").agg(count(lit(1)).as("ddf"))
-      .where(col("ddf") >= 2)
-      .select(col("g"), lit(1L).as("isdup"))
-    inst.join(dupChunks, Seq("g"), "left")
+    val wOrd = Window.partitionBy("g").orderBy("doc_id")
+    val wAll = Window.partitionBy("g")
+    inst
+      .withColumn("dr", dense_rank().over(wOrd))
+      .withColumn("ddf", max("dr").over(wAll))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"))
+        sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_bp", expr("(10000 * n_dup_chunks) div n_chunks"))
       .orderBy("doc_id")
   }

@@ -138,11 +138,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
-  test("dd_cdc shares the dd_span shape: keyed joins, partial combine") {
-    val plan = planOf(graft.functions.Dedup.ddCdc(spark, sf))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
-    assert(plan.contains("partial_count"), plan.take(3000))
+  test("dd_cdc shares the dd_span shape: one scan, window df, partial combine") {
+    val df = graft.functions.Dedup.ddCdc(spark, sf)
+    df.collect() // AQE: final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(3000))
+    // the corpus is read and chunked exactly once
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
+    assert(finalPlan.contains("partial_count"), finalPlan.take(3000))
   }
 
   test("minhash band self-join reuses the bucket-count window exchange") {
