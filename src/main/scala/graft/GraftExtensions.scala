@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SELECT rolling_hash(text), shingles3(text), cdc_chunks(text),
   *          dot_f64(a.v, b.v), json_path_extract(payload, '$.k'),
   *          minhash32(sh), minhash32_row(shs), simhash64(sh),
-  *          simhash64_row(hs)
+  *          simhash64_row(text)
   *
   * All are native `Expression`s / typed aggregates (no UDF
   * serialization boundary); rolling_hash and dot_f64 carry `doGenCode`

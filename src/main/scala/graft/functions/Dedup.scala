@@ -320,15 +320,30 @@ object Dedup {
     * (lang, source). The minhash operator is the default near-dup path
     * at that scale; simhash is the cheap high-precision screen. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // per-row signature over the doc's own token-hash array: map-only
-    // (no explode + groupBy shuffle of every token hash; [[SimHashRow]]
-    // is bit-identical to the SimHashAgg aggregate). The null filter
-    // mirrors the old explode semantics: a null text produced no rows,
-    // hence no signature.
+    // per-row signature straight off the text: map-only — no explode +
+    // groupBy shuffle of every token hash ([[SimHashRow]] tokenizes and
+    // hashes internally, bit-identical to simhash64(xxhash64(tok)) over
+    // the exploded stream). Null texts are filtered on the INPUT column
+    // (mirroring the old explode semantics: no rows, no signature) —
+    // filtering on the signature itself would push the predicate below
+    // the projection and evaluate the expensive expression twice per
+    // row. The tiny repartition (16 bytes/doc) is the materialization
+    // point the chunk self-join below reuses — without it each join
+    // side would recompute the whole signature pass (the aggregate's
+    // groupBy exchange used to play this role). The partition count is
+    // EXPLICIT: AQE would coalesce a 1.6 MB exchange to one partition
+    // by size, serializing the compute-dense chunk fan-out + self-join
+    // it feeds (the `spread` problem — see Similarity's scaladoc). The
+    // coalesce makes the signature attribute NON-NULLABLE (the default
+    // never fires behind the text filter): otherwise the join below
+    // infers isnotnull(simhash), pushes it through the projection, and
+    // the scan evaluates the whole signature a second time as a data
+    // filter — measured 1.6× on this operator.
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), SimHashRow.simhash64_row(
-        transform(split(trim(col("text")), "\\s+"), xxhash64(_))).as("simhash"))
-      .where(col("simhash").isNotNull)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        coalesce(SimHashRow.simhash64_row(col("text")), lit(0L)).as("simhash"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
     val chunkCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
     val chunks = docs.select(col("doc_id"), col("simhash"),

@@ -135,12 +135,15 @@ class ExpressionParitySpec extends AnyFunSuite {
   test("SimHashRow equals the SimHashAgg signature bit for bit") {
     import graft.functions.SimHashRow
     // edge cases: empty string (one "" token), single token, repeated
-    // tokens (frequency-weighted majority), a tie at n=2 (strict rule)
+    // tokens (frequency-weighted majority), a tie at n=2 (strict rule),
+    // tab-edged text (SQL trim strips spaces ONLY — a leading tab must
+    // survive and produce an empty first token, exactly like the
+    // split(trim(text), '\s+') formulation)
     val corpus = Seq("a b c d e f", "one two three", "dup dup dup",
-      "x", "", "x y")
+      "x", "", "x y", "\tabc def ", " pad  ted\t")
     val df = corpus.toDF("text")
-    val viaRow = df.select(col("text"), SimHashRow.simhash64_row(
-        transform(split(trim(col("text")), "\\s+"), xxhash64(_))).as("sig"))
+    val viaRow = df.select(col("text"),
+        SimHashRow.simhash64_row(col("text")).as("sig"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val viaAgg = df
       .select(col("text"), explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -152,8 +155,8 @@ class ExpressionParitySpec extends AnyFunSuite {
     }
     // SQL-injected form agrees
     df.createOrReplaceTempView("sh_docs")
-    val viaSql = spark.sql("SELECT text, simhash64_row(transform(" +
-        "split(trim(text), '\\\\s+'), t -> xxhash64(t))) AS sig FROM sh_docs")
+    val viaSql = spark.sql(
+        "SELECT text, simhash64_row(text) AS sig FROM sh_docs")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     corpus.foreach(text => assert(viaSql(text) == viaRow(text), text))
   }
