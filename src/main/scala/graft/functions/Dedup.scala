@@ -103,22 +103,34 @@ object Dedup {
     // exchanged once on doc_id. The exploded candidate stream below and
     // all four verify branches inside exactVerify read this exchange
     // back (identical subtrees → ReusedExchange), so the expensive
-    // shingle pass never re-executes.
-    // (the explicit filters match what the optimizer infers on each
-    // consumer — isNotNull(doc_id) from the verify joins, non-empty
-    // shingles from the explode; making them part of the shared base
-    // keeps the two subtrees IDENTICAL so the exchange is reused. Docs
-    // with no shingles can never witness a pair, so the size filter is
-    // semantically free.)
+    // shingle pass never re-executes. Two details make that true:
+    // the explicit isNotNull(doc_id) matches the filter the verify
+    // joins would infer on their side (a single differing conjunct
+    // breaks subtree identity and silently disables the reuse) and
+    // sits on a SCANNED column, so it pushes into the parquet scan for
+    // free; and the coalesce makes `shs` NON-NULLABLE (shingles3 is
+    // null only for null text, where the explode dropped the doc
+    // anyway — an empty array behaves identically), so no consumer can
+    // infer isnotnull(shs) and push the whole ShingleArray expression
+    // into the scan as a second-evaluation data filter.
     val base = t(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("shs"))
-      .where(col("doc_id").isNotNull && size(col("shs")) > 0 &&
-        col("shs").isNotNull)
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(shingles(col("text")), typedLit(Seq.empty[String])).as("shs"))
       .repartition(col("doc_id"))
     val docs = base.withColumn("n", size(col("shs")))
     // 64-bit shingle hashes as join keys: fixed-width keys halve the
     // shuffle vs strings (measured 2.3×); safe because of step 3.
-    val s = docs.select(col("doc_id"), col("n"), explode(col("shs")).as("shStr"))
+    // explode_OUTER, deliberately: a plain explode infers a
+    // size(shs) > 0 constraint that pushes the whole coalesce(shingles)
+    // expression into the scan as a data filter — re-evaluating the
+    // shingle pass AND breaking subtree identity with the verify
+    // branches (2 scans again). shs is empty only for null-text docs;
+    // their single null-shingle row hashes to xxhash64's seed, can
+    // only pair null-text docs with each other, and the exact verify
+    // (empty arrays → null jaccard) drops any such pair.
+    val s = docs.select(col("doc_id"), col("n"),
+        explode_outer(col("shs")).as("shStr"))
       .select(col("doc_id"), col("n"), xxhash64(col("shStr")).as("sh"))
     // df via a window over the shingle key, not a groupBy + join-back:
     // the exploded shingle stream (ShingleArray + explode + xxhash64)
@@ -245,9 +257,12 @@ object Dedup {
     // ONE corpus pass: the signature/band stream and all four verify
     // branches read the same doc_id exchange back (ReusedExchange), so
     // the scan + ShingleArray pass executes exactly once
+    // same base shape as ddNgramJaccardPairs (see the note there for
+    // why the filter and the non-nullable coalesce are load-bearing)
     val base = t(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("shs"))
-      .where(col("doc_id").isNotNull) // match the verify joins' inferred filter
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(shingles(col("text")), typedLit(Seq.empty[String])).as("shs"))
       .repartition(col("doc_id"))
     // shared two-tier exact verification (see exactVerify)
     exactVerify(minhashCandidates(base), base)
