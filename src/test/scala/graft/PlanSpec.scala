@@ -171,6 +171,21 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
   }
 
+  test("dd_simhash signature is map-only behind one reused exchange") {
+    val df = graft.functions.Dedup.ddSimhash(spark, sf)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // per-row signature: no explode + simhash aggregate, no token shuffle
+    assert(finalPlan.contains("simhash64_row"), finalPlan.take(3000))
+    assert(!finalPlan.contains("partial_simhash64"), finalPlan.take(3000))
+    // the chunk self-join reads ONE signature exchange back — the scan
+    // and the signature pass execute once, not once per join side
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
+    // and nothing re-evaluates the signature as a pushed scan filter
+    assert(!finalPlan.contains("isnotnull(simhash64_row"), finalPlan.take(3000))
+  }
+
   test("near-dup verify computes the shingle pass once behind a reused doc_id exchange") {
     val df = graft.functions.Dedup.ddNgramJaccard(spark, sf)
     df.collect() // AQE: reuse nodes appear only in the final plan
