@@ -33,8 +33,13 @@ object Dedup {
     * `Streams.dedupStream` so the three can never disagree on what
     * counts as "the same document". */
   private[graft] def docFingerprint(c: Column): Column =
-    md5(concat_ws(" ",
-      array_sort(array_distinct(split(trim(c), "\\s+")))).cast("binary"))
+    // null-PRESERVING, deliberately: concat_ws swallows a null array
+    // into "", which would fingerprint a null-text document identically
+    // to an empty-text one — while the DuckDB oracle's md5(null) is
+    // NULL, so the two engines would group differently on any corpus
+    // containing null texts (pinned by EdgeCorpusSpec)
+    when(c.isNotNull, md5(concat_ws(" ",
+      array_sort(array_distinct(split(trim(c), "\\s+")))).cast("binary")))
 
   def ddExact(spark: SparkSession, dir: String): DataFrame = {
     val fp = docFingerprint(col("text"))

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gate corpora contain no degenerate documents, so the near-dup
+  * family's edge semantics — null text, empty text, whitespace-only
+  * text, sub-shingle-length docs — are pinned here against a
+  * brute-force Scala reference on a purpose-built corpus. These paths
+  * are load-bearing: the single-scan base turns null text into an
+  * empty shingle array (coalesce) and rides an explode_outer, and the
+  * claim that "the exact verify drops any null-pair" has to be TRUE,
+  * not just argued in a comment. */
+class EdgeCorpusSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // doc 1: null text — must be invisible to every operator's pair set.
+  // docs 2/3: empty and whitespace-only — SQL trim + split yield the
+  //   single empty token, so both carry exactly the shingle [""] and
+  //   form a legitimate j=1 pair (DuckDB agrees on this semantic).
+  // doc 4: sub-shingle-length (1 token).
+  // docs 5/6: identical. doc 7: near-dup of 5/6. doc 8: unrelated.
+  // doc 9: tab-edged — SQL trim strips spaces ONLY, so the tab stays.
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> null,
+    2L -> "",
+    3L -> "   ",
+    4L -> "lonely",
+    5L -> "a b c d e f g h",
+    6L -> "a b c d e f g h",
+    7L -> "a b c d e f g h i",
+    8L -> "x y z w v u t s",
+    9L -> "\tq r s t u v w x ")
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("edge-corpus").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("edge"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Brute-force reference: SQL-parity tokenization (trim strips spaces
+    * only; split keeps trailing empties), distinct 3-shingles, exact
+    * Jaccard — independent of the ShingleArray expression under test. */
+  private def refShingles(text: String): Set[String] = {
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = text.substring(b, e).split("\\s+", -1)
+    (0 to math.max(toks.length - 3, 0))
+      .map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" "))
+      .toSet
+  }
+
+  private lazy val refPairs: Set[(Long, Long)] = {
+    val shs = corpus.collect { case (id, t) if t != null => id -> refShingles(t) }
+    (for {
+      (a, sa) <- shs; (b, sb) <- shs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+  }
+
+  test("the brute-force reference sees the expected pair structure") {
+    // (2,3) empty-token pair; (5,6) identical; (5,7)/(6,7) near-dup
+    assert(refPairs == Set((2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L)))
+  }
+
+  test("dd_ngram_jaccard matches the reference on the degenerate corpus") {
+    val got = functions.Dedup.ddNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == refPairs, s"got $got expected $refPairs")
+  }
+
+  test("dd_minhash_lsh matches the reference on the degenerate corpus") {
+    val got = functions.Dedup.ddMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == refPairs, s"got $got expected $refPairs")
+  }
+
+  test("dd_exact groups only the identical documents") {
+    val got = functions.Dedup.ddExact(spark, dir)
+      .select("doc_id", "canonical").as[(Long, Long)].collect().toSet
+    // 5/6 identical; 2/3 normalize to the same empty token set
+    assert(got == Set((2L, 2L), (3L, 2L), (5L, 5L), (6L, 5L)), got)
+  }
+
+  test("dd_simhash pairs the identical docs and never sees the null doc") {
+    val got = functions.Dedup.ddSimhash(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((5L, 6L)), got) // identical text → hamming 0
+    assert(got.forall { case (a, b) => a != 1L && b != 1L }, got)
+  }
+
+  test("dd_span and dd_cdc report every non-null doc exactly once") {
+    val span = functions.Dedup.ddSpan(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(span.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), span)
+    val cdc = functions.Dedup.ddCdc(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cdc.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), cdc)
+    // identical docs 5/6 are fully duplicated spans of each other
+    val bp = functions.Dedup.ddSpan(spark, dir)
+      .select("doc_id", "dup_bp").as[(Long, Long)].collect().toMap
+    assert(bp(5L) == 10000L && bp(6L) == 10000L, bp)
+    assert(bp(4L) == 0L, bp) // 0 spans → 0 bp, no division blowup
+  }
+}
