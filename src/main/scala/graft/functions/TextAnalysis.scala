@@ -89,7 +89,12 @@ object TextAnalysis {
         size(col("toks")).as("n_toks"),
         aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("n_tok_chars"))
       .select(col("doc_id"), col("len"),
-        intDiv(lit(10000L) * col("n_punct"), col("len")).as("punct_bp"),
+        // empty text: len = 0 → define punct_bp as 0 rather than a
+        // remainder-by-zero (ANSI) — mirrored in the oracle; the token
+        // divisors below are safe (split yields ≥ 1 token, even "")
+        when(col("len") === 0, 0L)
+          .otherwise(intDiv(lit(10000L) * col("n_punct"), col("len")))
+          .as("punct_bp"),
         intDiv(lit(10000L) * col("n_stop"), col("n_toks")).as("stopword_bp"),
         intDiv(lit(100L) * col("n_tok_chars"), col("n_toks"))
           .as("avg_word_centichars"),
@@ -270,7 +275,12 @@ object TextAnalysis {
     * score is a pure projection over the existing shingle expression,
     * one scan, no shuffle, no floats beyond one IEEE division. */
   def taRepetition(spark: SparkSession, dir: String): DataFrame =
+    // null text excluded in BOTH engines (the dd_span convention): a
+    // null-text doc has no defined repetition, and the two engines'
+    // natural null arithmetic diverges (greatest-ignores-null vs
+    // zero-length generate_series — caught on the degenerate corpus)
     t(spark, dir, "documents")
+      .where(col("text").isNotNull)
       .select(col("doc_id"),
         greatest(size(tokens(col("text"))) - 2, lit(1)).cast("long").as("total_3grams"),
         size(Dedup.shingles(col("text"))).cast("long").as("distinct_3grams"))
@@ -444,7 +454,8 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_quality" ->
       s"""SELECT doc_id, len,
-         |  CAST((10000 * n_punct) // len AS BIGINT) AS punct_bp,
+         |  CAST(CASE WHEN len = 0 THEN 0
+         |       ELSE (10000 * n_punct) // len END AS BIGINT) AS punct_bp,
          |  CAST((10000 * n_stop) // n_toks AS BIGINT) AS stopword_bp,
          |  CAST((100 * n_tok_chars) // n_toks AS BIGINT) AS avg_word_centichars,
          |  CAST((3000 * n_stop) // n_toks + 35 * least(n_toks, 200) AS BIGINT) AS quality_score_bp
@@ -515,9 +526,16 @@ object TextAnalysis {
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(norm) AS fp_md5,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(norm,''), ch -> CAST(unicode(ch) AS BIGINT))),
-        |    (a, b) -> (a*131 + b) % 1000000007) AS fp_roll
+        |  CASE
+        |    -- null text: null hash (string_split(NULL) would smuggle a 0)
+        |    WHEN norm IS NULL THEN NULL
+        |    -- empty text: hash of zero bytes = 0 (string_split('','')
+        |    -- yields [''] and unicode('') is -1 — a spurious element)
+        |    WHEN norm = '' THEN 0
+        |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(norm,''), ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a*131 + b) % 1000000007)
+        |  END AS fp_roll
         |FROM (SELECT doc_id,
         |        regexp_replace(lower(trim(text)),'\s+',' ','g') AS norm
         |      FROM documents)
@@ -545,7 +563,7 @@ object TextAnalysis {
         |          generate_series(1, greatest(len(tk)-2, 1)),
         |          i -> array_to_string(tk[i:i+2],' ')))) AS distinct_3grams
         |      FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
-        |            FROM documents))
+        |            FROM documents WHERE text IS NOT NULL))
         |ORDER BY doc_id""".stripMargin,
     "ta_mixture" ->
       """SELECT doc_id, source, keep_pct FROM (

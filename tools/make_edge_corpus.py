@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build the degenerate-document corpus for edge-semantics gating.
+
+The driver's sf corpora contain no null/empty/whitespace-only texts, so
+oracle parity on those paths is otherwise untested. This writes a
+documents.parquet of nasty edge docs and symlinks the remaining tables
+from an sf dir, so the NORMAL gate tooling runs unchanged:
+
+    python3 tools/make_edge_corpus.py /tmp/edgedir
+    sbt "runMain graft.QuickVerify /tmp/edgedir /tmp/qe <documents-only query names>"
+    python3 tools/check_correctness.py /tmp/edgedir /tmp/qe
+
+Found in round 6 (all fixed + pinned): null-text fingerprint grouping
+(concat_ws swallows null), ta_quality remainder-by-zero on empty text,
+the ta_fingerprint oracle's spurious unicode('') = -1 element, and
+ta_repetition's divergent null arithmetic. ScalaTest-side coverage of
+the dedup family lives in EdgeCorpusSpec.
+"""
+import os
+import sys
+
+import duckdb
+
+EDGE_DOCS = """
+COPY (
+  SELECT * FROM (VALUES
+    (1::BIGINT, NULL::VARCHAR, 'en', 'edge', NULL::BIGINT),
+    (2, '', 'en', 'edge', 0),
+    (3, '   ', 'en', 'edge', 3),
+    (4, 'lonely', 'en', 'edge', 6),
+    (5, 'a b c d e f g h', 'en', 'edge', 15),
+    (6, 'a b c d e f g h', 'en', 'edge', 15),
+    (7, 'a b c d e f g h i', 'en', 'edge', 17),
+    (8, 'x y z w v u t s', 'en', 'edge', 15),
+    (9, E'\\tq r s t u v w x ', 'en', 'edge', 17),
+    (10, 'Foo BAR baz qux quux corge grault garply waldo fred', 'en', 'other', 52),
+    (11, 'numbers 123 456.789 and emails a@b.co plus http://x.io/z', 'en', 'other', 57)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{out}' (FORMAT PARQUET)
+"""
+
+OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]
+
+
+def main(outdir: str, sfdir: str = "/root/testdata/sf0.001") -> int:
+    os.makedirs(outdir, exist_ok=True)
+    duckdb.connect().execute(
+        EDGE_DOCS.format(out=os.path.join(outdir, "documents.parquet")))
+    for t in OTHER_TABLES:
+        dst = os.path.join(outdir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sfdir, f"{t}.parquet"), dst)
+    print(f"edge corpus written to {outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/edgedir",
+                  *sys.argv[2:]))
