@@ -385,9 +385,12 @@ object Dedup {
     * Small-side broadcast nested loop is fine at demo scale; the scale
     * path for this operator is Similarity.ssIvfTopK's bucketed search. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    // zero-norm vectors excluded — same convention as Similarity
+    // (undefined cosine; NaN would top the ranking), mirrored below
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
+      .where(col("nrm") > 0)
     // the left side is repartitioned by CPU count: the nested-loop join
     // does O(N) dot products per input row, so scan-bytes-sized
     // parallelism (one ~task for a 20 MB file) would serialize it
@@ -678,8 +681,10 @@ object Dedup {
         |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings)
+      """WITH e AS (SELECT vec_id, v FROM (
+        |             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings)
+        |           WHERE list_sum(list_transform(v, x -> x*x)) > 0)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

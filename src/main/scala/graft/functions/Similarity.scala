@@ -53,11 +53,19 @@ object Similarity {
         col("s.score").as(scoreName), (col("p") + 1).as("rn"))
       .orderBy("q_id", "rn")
 
+  /** Zero-norm vectors carry no direction: cosine against them is
+    * undefined (a literal divide-by-zero under ANSI, and Spark orders
+    * NaN above every real score, so one zero embedding would otherwise
+    * TOP every ranking). Excluded from queries and candidates in every
+    * cosine-based operator, mirrored in the oracles; real corpora do
+    * contain zero embeddings (failed encodes, padding rows). */
+  private def nonZero(e: DataFrame): DataFrame = e.where(col("nrm") > 0)
+
   /** Exact brute-force cosine top-10 for query vectors vec_id < 5. */
   def ssCosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = nonZero(t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = spread(e.where(col("vec_id") >= 5))
@@ -76,9 +84,9 @@ object Similarity {
     * construction); the ScalaTest spec asserts recall against
     * ssCosineTopK. */
   def ssIvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = nonZero(t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
     // Corpus size from parquet footer metadata — the previous e.count()
     // here was a full extra pass over the table before the real job.
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
@@ -141,8 +149,9 @@ object Similarity {
     * in both — the result is bit-deterministic across engines. The
     * spec additionally asserts top-k recall against ssCosineTopK. */
   def ssQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+    val e = nonZero(t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))))
       // per-vector symmetric int8 quantization: q[i] = round(127·v[i]/amax)
       .withColumn("amax",
         greatest(array_max(col("v")), -array_min(col("v")), lit(1e-30)))
@@ -205,8 +214,10 @@ object Similarity {
         |       ELSE -((-sum_micro) // n_vecs) END AS BIGINT) AS centroid_micro
         |FROM a ORDER BY label, dim""".stripMargin,
     "ss_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings)
+      """WITH e AS (SELECT vec_id, v FROM (
+        |             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings)
+        |           WHERE list_sum(list_transform(v, x -> x*x)) > 0)
         |SELECT q_id, cand_id, cos, rn FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
         |    round(list_cosine_similarity(q.v, c.v), 4) AS cos,
@@ -216,8 +227,10 @@ object Similarity {
         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "ss_quantized_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
+      """WITH e AS (SELECT vec_id, v FROM (
+        |             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings)
+        |           WHERE list_sum(list_transform(v, x -> x*x)) > 0),
         |q8 AS (SELECT vec_id, list_transform(v, x -> round(x * 127.0 / amax)) AS q
         |       FROM (SELECT vec_id, v,
         |               greatest(list_max(v), -list_min(v), 1e-30) AS amax FROM e))

@@ -39,14 +39,37 @@ COPY (
 ) TO '{out}' (FORMAT PARQUET)
 """
 
+# embeddings: vec_id < 5 are the ss_* query set — 3 is a ZERO query
+# vector, 17 a zero candidate. Zero-norm vectors have no direction:
+# before round 6 they crashed ssCosineTopK outright (ANSI
+# divide-by-zero) and would otherwise rank TOP of every ranking
+# (Spark orders NaN above all reals). Both engines now exclude them.
+EDGE_EMBEDDINGS = """
+COPY (
+  WITH base AS (
+    SELECT vec_id, embedding, label
+    FROM read_parquet('{sf}/embeddings.parquet')
+    WHERE vec_id < 30 AND vec_id NOT IN (3, 17)
+  ),
+  zeros AS (
+    SELECT * FROM (VALUES
+      (3::BIGINT, CAST(list_transform(generate_series(1,64), i -> 0.0::FLOAT) AS FLOAT[]), 1::INT),
+      (17, CAST(list_transform(generate_series(1,64), i -> 0.0::FLOAT) AS FLOAT[]), 2)
+    ) t(vec_id, embedding, label))
+  SELECT * FROM base UNION ALL SELECT * FROM zeros ORDER BY vec_id
+) TO '{out}' (FORMAT PARQUET)
+"""
+
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "events", "embeddings"]
+                "orders", "lineitem", "events"]
 
 
 def main(outdir: str, sfdir: str = "/root/testdata/sf0.001") -> int:
     os.makedirs(outdir, exist_ok=True)
-    duckdb.connect().execute(
-        EDGE_DOCS.format(out=os.path.join(outdir, "documents.parquet")))
+    con = duckdb.connect()
+    con.execute(EDGE_DOCS.format(out=os.path.join(outdir, "documents.parquet")))
+    con.execute(EDGE_EMBEDDINGS.format(
+        sf=sfdir, out=os.path.join(outdir, "embeddings.parquet")))
     for t in OTHER_TABLES:
         dst = os.path.join(outdir, f"{t}.parquet")
         if not os.path.exists(dst):
