@@ -34,8 +34,11 @@ object PipelineQueries {
   def plJsonPath(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("event_id"),
-        element_at(
-          JsonPathExtract.json_path_extract(col("props"), "$.k"), 1)
+        // get(), not element_at(1): a well-formed doc MISSING the key
+        // extracts an empty array, and element_at on it is an ANSI
+        // crash — get returns null, matching the oracle's
+        // json_extract_string(missing key) = NULL
+        get(JsonPathExtract.json_path_extract(col("props"), "$.k"), lit(0))
           .cast("long").as("k"))
       .where(col("k") % 7 === 0)
       .orderBy("event_id")
@@ -84,8 +87,12 @@ object PipelineQueries {
         |    '[data]')) - 1 AS n_marks
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pl_jsonpath" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+      """WITH x AS (SELECT event_id,
+        |  -- json_valid guard: malformed props extract NULL, as in Spark
+        |  CAST(CASE WHEN json_valid(props)
+        |       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |FROM events)
+        |SELECT event_id, k FROM x WHERE k % 7 = 0
         |ORDER BY event_id""".stripMargin,
     // wrap_text then text_replace semantics (TrimLeft(' ') on every
     // part; replace AFTER wrapping, so the wrap markers are part of the

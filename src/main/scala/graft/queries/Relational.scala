@@ -377,7 +377,11 @@ object Relational {
         |  round(avg(value),4) AS avg_value,
         |  round(avg(k),4) AS avg_k
         |FROM (SELECT event_type, value,
-        |        CAST(json_extract_string(props,'$.k') AS INT) AS k FROM events)
+        |        -- json_valid guard: malformed props extract NULL (the
+        |        -- Spark/Trino/Hive convention); bare json_extract errors
+        |        CAST(CASE WHEN json_valid(props)
+        |             THEN json_extract_string(props,'$.k') END AS INT) AS k
+        |      FROM events)
         |WHERE k > 50 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_hourly_events" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

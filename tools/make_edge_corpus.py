@@ -61,7 +61,46 @@ COPY (
 """
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "events"]
+                "orders", "lineitem"]
+
+
+def write_edge_events(outdir: str, sfdir: str) -> None:
+    """Edge events: null user_id / event_type / value / props, a
+    MALFORMED JSON props (Spark extracts null; bare DuckDB
+    json_extract_string errors — the oracles carry a json_valid guard),
+    an empty JSON object (key missing from well-formed JSON: element_at
+    on the empty extraction was an ANSI crash), and duplicate
+    timestamps within one user's session. Written via pyarrow because
+    the driver's events.parquet is TIMESTAMP(NANOS) and DuckDB's writer
+    downcasts to micros."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sfdir}/events.parquet").to_pandas()
+    base = base[base.event_id < 200]
+    edge = pd.DataFrame({
+        "event_id": [9001, 9002, 9003, 9004, 9005, 9006, 9007],
+        "ts": pd.to_datetime(
+            ["2024-01-02 00:00:00", "2024-01-02 00:00:01",
+             "2024-01-02 00:00:02", "2024-01-02 00:00:02",
+             "2024-01-02 00:00:02", "2024-01-02 01:00:02",
+             "2024-01-02 01:30:02"]),
+        "user_id": pd.array([None, 7, 7, 7, 7, 7, None], dtype="Int64"),
+        "event_type": ["click", None, "click", "view", "view", "view", None],
+        "value": [1.5, 2.5, None, 4.5, 5.5, 6.5, None],
+        "props": ['{"k": 3}', '{"k": 14}', None, "{bad json", "{}",
+                  '{"k": 21, "extra": [1,2]}', None],
+    })
+    out = pd.concat([base, edge], ignore_index=True).sort_values("event_id")
+    out["ts"] = out["ts"].astype("datetime64[ns]")
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])
+    pq.write_table(pa.Table.from_pandas(out, schema=schema,
+                                        preserve_index=False),
+                   os.path.join(outdir, "events.parquet"))
 
 
 def main(outdir: str, sfdir: str = "/root/testdata/sf0.001") -> int:
@@ -70,6 +109,7 @@ def main(outdir: str, sfdir: str = "/root/testdata/sf0.001") -> int:
     con.execute(EDGE_DOCS.format(out=os.path.join(outdir, "documents.parquet")))
     con.execute(EDGE_EMBEDDINGS.format(
         sf=sfdir, out=os.path.join(outdir, "embeddings.parquet")))
+    write_edge_events(outdir, sfdir)
     for t in OTHER_TABLES:
         dst = os.path.join(outdir, f"{t}.parquet")
         if not os.path.exists(dst):
