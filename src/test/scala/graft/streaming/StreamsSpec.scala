@@ -165,6 +165,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null and empty texts flow through nearDupStream without pairing") {
+    import StreamsSpec.Doc
+    // null text → null signature → all such docs collide in one
+    // constant band bucket; the exact verify must drop every pair
+    // (empty shingle arrays → null jaccard), not crash — the streaming
+    // face of the EdgeCorpusSpec batch semantics
+    val docs = Seq(
+      Doc(1L, ts(1), null), Doc(2L, ts(2), null),
+      Doc(3L, ts(3), ""), Doc(4L, ts(4), "   "),
+      Doc(5L, ts(5), "a b c d e f"), Doc(6L, ts(6), "a b c d e f"))
+    val corpus = {
+      import spark.implicits._
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    }
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus)
+    val q = out.writeStream.format("memory").queryName("near_dup_edge")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("near_dup_edge").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 3/4 both carry the single "" shingle (a legitimate j=1
+      // pair, matching the batch operator); null docs pair with nothing
+      assert(got == Set((3L, 4L), (5L, 6L)), got)
+    } finally q.stop()
+  }
+
   test("near-dup band buckets are evicted past the watermark horizon") {
     import StreamsSpec.Doc
     val sf = SparkTestSession.sf
