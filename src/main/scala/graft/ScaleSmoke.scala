@@ -53,8 +53,26 @@ object ScaleSmoke {
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
+    // events ×factor: new event ids and a DISJOINT user population per
+    // copy (user count grows with the corpus — replicating onto the
+    // same users would turn per-user windows into an artificial skew
+    // pathology instead of a bigger corpus). ts is kept as raw INT64
+    // nanos end-to-end (the driver's file is TIMESTAMP(NANOS), read as
+    // long under nanosAsLong; writing it back as a plain BIGINT keeps
+    // Tables.t's `ts div 1000` conversion working on the replica).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = ev.count()
+    val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+    ev.crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("event_id") + col("copy") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * nUsers).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
+
     val docs = spark.read.parquet(s"$big/documents.parquet").count()
-    println(s"corpus: $docs documents, ${ne * factor} embeddings (${factor}x sf0.1)")
+    println(s"corpus: $docs documents, ${ne * factor} embeddings, " +
+      s"${nEv * factor} events (${factor}x sf0.1)")
     val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
     println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
       s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
@@ -87,6 +105,14 @@ object ScaleSmoke {
     // exercises the TakeOrdered path the sf corpus (31 tokens) never hits
     time("ta_vocab_k100")(TextAnalysis.taVocab(spark, big, 100).count())
     time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
+    // events family: per-user windows (sessionize, as-of) must scale
+    // with the USER population, the range join with its bucket grid
+    import graft.queries.Relational
+    time("q11_hourly")(Relational.q11HourlyEvents(spark, big).count())
+    time("q12_sessionize")(Relational.q12Sessionize(spark, big).count())
+    time("q14_asof_join")(Relational.q14AsofJoin(spark, big).count())
+    time("q15_range_join")(Relational.q15RangeJoin(spark, big).count())
+    time("q17_distinct")(Relational.q17DistinctUsers(spark, big).count())
     spark.stop()
   }
 }
