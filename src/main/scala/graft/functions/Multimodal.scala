@@ -51,8 +51,12 @@ object Multimodal {
     * decoder per partition, rows streamed through it. */
   def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import FakeDecoder.Meta
+    // a row with no payload cannot be decoded: skipped (mirrored in the
+    // oracle), never passed into the decoder — a single null blob in a
+    // billion-row media table must not kill the pass
     val src = t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
     val ds = src.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     ds.mapPartitions { rows =>
       // Per-partition setup happens here (real decoders are expensive to
@@ -88,8 +92,10 @@ object Multimodal {
     * geometry math and plumbing are the real thing and run unchanged
     * over a real decoder. */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    // null payloads skipped, as in mmDecodeMeta
     val src = t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .where(col("payload").isNotNull)
     val ds = src.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     ds.mapPartitions { rows =>
       val target = 224 // per-partition setup: a real resizer lives here
@@ -123,7 +129,7 @@ object Multimodal {
         |  CAST(1 + (n * 7) % 480 AS INT) AS height,
         |  CAST(1 + n % 24 AS INT) AS n_frames
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
-        |      FROM documents)
+        |      FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
@@ -131,7 +137,7 @@ object Multimodal {
         |    CAST(1 + n % 640 AS INT) AS width,
         |    CAST(1 + (n * 7) % 480 AS INT) AS height
         |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
-        |        FROM documents)),
+        |        FROM documents WHERE text IS NOT NULL)),
         |r AS (
         |  SELECT doc_id, width, height,
         |    greatest(1, (width * 224) // greatest(width, height)) AS out_w,
