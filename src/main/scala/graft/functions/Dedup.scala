@@ -214,8 +214,13 @@ object Dedup {
       .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("n").as("nb")), "doc_b")
       .withColumn("shared", VectorOps.sortedOverlap(col("ha"), col("hb")))
-      .where(round(col("shared") /
-        (col("na") + col("nb") - col("shared")).cast("double"), 4) >= 0.5)
+      // two EMPTY shingle sets (both docs null-text) give a 0/0 union —
+      // an ANSI divide-by-zero, not a near-dup; their Jaccard is 0. A
+      // `when` guard, not a conjunct: predicate order is not a contract
+      .withColumn("union_n",
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .where(when(col("union_n") === 0, 0.0)
+        .otherwise(round(col("shared") / col("union_n"), 4)) >= 0.5)
       .select("doc_a", "doc_b")
     tier1
       .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")

@@ -31,7 +31,10 @@ class EdgeCorpusSpec extends AnyFunSuite {
     6L -> "a b c d e f g h",
     7L -> "a b c d e f g h i",
     8L -> "x y z w v u t s",
-    9L -> "\tq r s t u v w x ")
+    9L -> "\tq r s t u v w x ",
+    // second null doc: both engines window-group NULL fingerprints
+    // together, so the two null docs must surface as an exact-dup group
+    10L -> null)
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("edge-corpus").toString
@@ -84,15 +87,19 @@ class EdgeCorpusSpec extends AnyFunSuite {
   test("dd_exact groups only the identical documents") {
     val got = functions.Dedup.ddExact(spark, dir)
       .select("doc_id", "canonical").as[(Long, Long)].collect().toSet
-    // 5/6 identical; 2/3 normalize to the same empty token set
-    assert(got == Set((2L, 2L), (3L, 2L), (5L, 5L), (6L, 5L)), got)
+    // 5/6 identical; 2/3 normalize to the same empty token set; the
+    // two null-text docs group on their (shared) null fingerprint —
+    // DuckDB's window PARTITION BY groups NULLs identically
+    assert(got == Set((1L, 1L), (10L, 1L),
+      (2L, 2L), (3L, 2L), (5L, 5L), (6L, 5L)), got)
   }
 
   test("dd_simhash pairs the identical docs and never sees the null doc") {
     val got = functions.Dedup.ddSimhash(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got.contains((5L, 6L)), got) // identical text → hamming 0
-    assert(got.forall { case (a, b) => a != 1L && b != 1L }, got)
+    assert(got.forall { case (a, b) =>
+      a != 1L && b != 1L && a != 10L && b != 10L }, got)
   }
 
   test("dd_span and dd_cdc report every non-null doc exactly once") {
@@ -102,6 +109,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
     val cdc = functions.Dedup.ddCdc(spark, dir)
       .select("doc_id").as[Long].collect().toSeq
     assert(cdc.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), cdc)
+    // both null docs are invisible to the span/cdc family
     // identical docs 5/6 are fully duplicated spans of each other
     val bp = functions.Dedup.ddSpan(spark, dir)
       .select("doc_id", "dup_bp").as[(Long, Long)].collect().toMap

@@ -34,7 +34,8 @@ COPY (
     (8, 'x y z w v u t s', 'en', 'edge', 15),
     (9, E'\\tq r s t u v w x ', 'en', 'edge', 17),
     (10, 'Foo BAR baz qux quux corge grault garply waldo fred', 'en', 'other', 52),
-    (11, 'numbers 123 456.789 and emails a@b.co plus http://x.io/z', 'en', 'other', 57)
+    (11, 'numbers 123 456.789 and emails a@b.co plus http://x.io/z', 'en', 'other', 57),
+    (12, NULL, 'en', 'edge', NULL)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{out}' (FORMAT PARQUET)
 """
