@@ -34,7 +34,14 @@ class EdgeCorpusSpec extends AnyFunSuite {
     9L -> "\tq r s t u v w x ",
     // second null doc: both engines window-group NULL fingerprints
     // together, so the two null docs must surface as an exact-dup group
-    10L -> null)
+    10L -> null,
+    // unicode: CJK (multibyte UTF-8), emoji (surrogate pairs in the
+    // JVM), combining marks — web corpora are full of all three, and
+    // the tokenize→shingle→hash pipeline must treat them as opaque
+    // bytes without corruption. 11/12 near-dup; 13 unrelated.
+    11L -> "机器 学习 模型 训练 数据 管道 系统 工程",
+    12L -> "机器 学习 模型 训练 数据 管道 系统 架构",
+    13L -> "🚀 café naïve étude ßharp Ωmega 你好")
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("edge-corpus").toString
@@ -68,8 +75,10 @@ class EdgeCorpusSpec extends AnyFunSuite {
   }
 
   test("the brute-force reference sees the expected pair structure") {
-    // (2,3) empty-token pair; (5,6) identical; (5,7)/(6,7) near-dup
-    assert(refPairs == Set((2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L)))
+    // (2,3) empty-token pair; (5,6) identical; (5,7)/(6,7) near-dup;
+    // (11,12) the CJK near-dup — 5/6 shared shingles of 7
+    assert(refPairs ==
+      Set((2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L), (11L, 12L)))
   }
 
   test("dd_ngram_jaccard matches the reference on the degenerate corpus") {
@@ -105,10 +114,12 @@ class EdgeCorpusSpec extends AnyFunSuite {
   test("dd_span and dd_cdc report every non-null doc exactly once") {
     val span = functions.Dedup.ddSpan(spark, dir)
       .select("doc_id").as[Long].collect().toSeq
-    assert(span.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), span)
+    assert(span.sorted ==
+      Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 11L, 12L, 13L), span)
     val cdc = functions.Dedup.ddCdc(spark, dir)
       .select("doc_id").as[Long].collect().toSeq
-    assert(cdc.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), cdc)
+    assert(cdc.sorted ==
+      Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 11L, 12L, 13L), cdc)
     // both null docs are invisible to the span/cdc family
     // identical docs 5/6 are fully duplicated spans of each other
     val bp = functions.Dedup.ddSpan(spark, dir)
