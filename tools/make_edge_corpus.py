@@ -104,8 +104,32 @@ def write_edge_events(outdir: str, sfdir: str) -> None:
                    os.path.join(outdir, "events.parquet"))
 
 
-def main(outdir: str, sfdir: str = "/root/testdata/sf0.001") -> int:
+def write_empty(outdir: str, sfdir: str) -> None:
+    """Zero-row documents/embeddings/events with the real schemas: an
+    empty partition directory is a legitimate input, and the whole
+    battery must return empty results with oracle parity, not crash
+    (verified round 6: 39/39)."""
+    import pyarrow.parquet as pq
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{sfdir}/{t}.parquet') LIMIT 0)"
+            f" TO '{outdir}/{t}.parquet' (FORMAT PARQUET)")
+    ev = pq.read_table(f"{sfdir}/events.parquet").slice(0, 0)
+    pq.write_table(ev, f"{outdir}/events.parquet")
+
+
+def main(outdir: str, sfdir: str = "/root/testdata/sf0.001",
+         mode: str = "edge") -> int:
     os.makedirs(outdir, exist_ok=True)
+    if mode == "empty":
+        write_empty(outdir, sfdir)
+        for t in OTHER_TABLES:
+            dst = os.path.join(outdir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sfdir, f"{t}.parquet"), dst)
+        print(f"empty corpus written to {outdir}")
+        return 0
     con = duckdb.connect()
     con.execute(EDGE_DOCS.format(out=os.path.join(outdir, "documents.parquet")))
     con.execute(EDGE_EMBEDDINGS.format(
