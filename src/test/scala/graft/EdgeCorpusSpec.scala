@@ -111,6 +111,39 @@ class EdgeCorpusSpec extends AnyFunSuite {
       a != 1L && b != 1L && a != 10L && b != 10L }, got)
   }
 
+  test("the dfCap trade on an all-identical corpus is exactly as documented") {
+    // 200 byte-identical docs: every shingle has df = 200 > the default
+    // cap 8·√200 ≈ 113, so the ngram path drops ALL shingles and finds
+    // NOTHING — the documented stop-shingle trade ("run dd_exact first").
+    // The claim only holds if (a) dd_exact really does catch the whole
+    // group, (b) raising the cap really does restore every pair, and
+    // (c) minhash — whose bucket cap is 1024 members — still finds all
+    // pairs where ngram's earlier-binding cap cannot.
+    val d = java.nio.file.Files.createTempDirectory("all-dup").toString
+    (1L to 200L).map(i => (i, "the same document body repeated verbatim"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("dup"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val allPairs = (for (a <- 1L to 200L; b <- a + 1 to 200L) yield (a, b)).toSet
+
+    val exact = functions.Dedup.ddExact(spark, d)
+      .select("doc_id", "canonical").as[(Long, Long)].collect()
+    assert(exact.length == 200 && exact.forall(_._2 == 1L), exact.take(5).toSeq)
+
+    val defaultCap = functions.Dedup.ddNgramJaccard(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(defaultCap.isEmpty, s"cap 8·√200 must drop the df=200 shingles")
+
+    val raisedCap = functions.Dedup.ddNgramJaccard(spark, d, dfCap = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(raisedCap == allPairs, s"raised cap: ${raisedCap.size} pairs")
+
+    val mh = functions.Dedup.ddMinhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == allPairs, s"minhash: ${mh.size} pairs")
+  }
+
   test("dd_span and dd_cdc report every non-null doc exactly once") {
     val span = functions.Dedup.ddSpan(spark, dir)
       .select("doc_id").as[Long].collect().toSeq
