@@ -84,6 +84,8 @@ object ScaleSmoke {
     spark.range(1000000).groupBy(expr("id % 97")).count().count() // warmup
     import graft.functions._
     time("dd_exact")(Dedup.ddExact(spark, big).count())
+    // candidates alongside the full operator, as for minhash below
+    time("ng_candidates")(Dedup.ngramCandidates(spark, big).count())
     time("dd_ngram_jaccard")(Dedup.ddNgramJaccard(spark, big).count())
     // candidate count alongside wall-clock: the verify is candidate-
     // proportional, so wall growing faster than candidates would flag a

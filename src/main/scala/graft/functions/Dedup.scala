@@ -98,12 +98,25 @@ object Dedup {
   /** Unordered j ≥ 0.5 pair set — the composable core of
     * [[ddNgramJaccard]]. */
   def ddNgramJaccardPairs(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame = {
-    val cap =
-      if (dfCap > 0) dfCap
-      else {
-        val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
-        math.max(64L, 8L * math.round(math.sqrt(nDocs.toDouble))).toInt
-      }
+    val base = ngramBase(spark, dir)
+    exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base)
+  }
+
+  private def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
+    if (dfCap > 0) dfCap
+    else {
+      val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+      math.max(64L, 8L * math.round(math.sqrt(nDocs.toDouble))).toInt
+    }
+
+  /** The ngram candidate pairs BEFORE exact verification — factored out
+    * (like [[minhashCandidates]]) so the scale smoke can measure
+    * candidate growth against wall-clock growth. */
+  private[graft] def ngramCandidates(spark: SparkSession, dir: String,
+      dfCap: Int = -1): DataFrame =
+    ngramCandidatesFrom(ngramBase(spark, dir), resolveCap(spark, dir, dfCap))
+
+  private def ngramBase(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus pass for the whole operator: scan + ShingleArray,
     // exchanged once on doc_id. The exploded candidate stream below and
     // all four verify branches inside exactVerify read this exchange
@@ -118,11 +131,14 @@ object Dedup {
     // anyway — an empty array behaves identically), so no consumer can
     // infer isnotnull(shs) and push the whole ShingleArray expression
     // into the scan as a second-evaluation data filter.
-    val base = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         coalesce(shingles(col("text")), typedLit(Seq.empty[String])).as("shs"))
       .repartition(col("doc_id"))
+  }
+
+  private def ngramCandidatesFrom(base: DataFrame, cap: Int): DataFrame = {
     val docs = base.withColumn("n", size(col("shs")))
     // 64-bit shingle hashes as join keys: fixed-width keys halve the
     // shuffle vs strings (measured 2.3×); safe because of step 3.
@@ -159,21 +175,17 @@ object Dedup {
     // pairs whose common prefix shingles all sit too late can never
     // reach the required overlap ⌈(na+nb)/3⌉. Lossless: for a true pair
     // the first common element always satisfies the bound.
-    val cand = prefix.alias("a").join(prefix.alias("b"),
+    // (callers run these candidates through exactVerify — tier 1 scores
+    // on pre-sorted hash arrays with the codegen'd SortedOverlap merge
+    // scan, tier 2 recomputes Jaccard on the exact string arrays, so a
+    // 64-bit collision can only ADD a candidate, never corrupt output)
+    prefix.alias("a").join(prefix.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) * 2 >= greatest(col("a.n"), col("b.n")) &&
         lit(1) + least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk")) >=
           ceil((col("a.n") + col("b.n")) / lit(3.0)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Two-tier verification. Tier 1 scores every candidate on pre-sorted
-    // *hash* arrays with a codegen'd merge scan ([[SortedOverlap]] —
-    // array_intersect would build a hash set per candidate pair); a
-    // 64-bit collision can only inflate `shared`, so the tier-1 pass-set
-    // is a superset of the true pairs. Tier 2 recomputes Jaccard on the
-    // exact string arrays for the few survivors — the output is
-    // collision-proof.
-    exactVerify(cand, base)
   }
 
   /** Two-tier exact verification of candidate pairs — SHARED by every
