@@ -35,9 +35,16 @@ object ScaleSmoke {
     // would turn into ~df² pair instances; the scale-aware dfCap must
     // drop it. Unrelated docs share ONLY those ~3 boilerplate shingles
     // (j « 0.5), so the true pair set is unchanged.
+    // replica-id strides are max(id)+1, NOT row counts: sparse or
+    // non-0-based source ids would otherwise collide across copies and
+    // silently merge rows in the scaled corpus (empty table → 0 stride,
+    // nothing to replicate but nothing throws either)
+    def stride(df: org.apache.spark.sql.DataFrame, idCol: String): Long =
+      Option(df.agg(max(idCol)).head.get(0)).map(_.asInstanceOf[Long] + 1)
+        .getOrElse(0L)
     val boiler = " legal notice all rights reserved"
     val d = Tables.t(spark, src, "documents")
-    val n = d.count()
+    val n = stride(d, "doc_id")
     d.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("doc_id") + col("copy") * n).as("doc_id"),
         when(col("copy") === 0, col("text"))
@@ -47,7 +54,7 @@ object ScaleSmoke {
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
     val e = Tables.t(spark, src, "embeddings")
-    val ne = e.count()
+    val ne = stride(e, "vec_id")
     e.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("vec_id") + col("copy") * ne).as("vec_id"),
         col("embedding"), col("label"))
@@ -61,8 +68,8 @@ object ScaleSmoke {
     // long under nanosAsLong; writing it back as a plain BIGINT keeps
     // Tables.t's `ts div 1000` conversion working on the replica).
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val nEv = ev.count()
-    val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+    val nEv = stride(ev, "event_id")
+    val nUsers = stride(ev, "user_id")
     ev.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("event_id") + col("copy") * nEv).as("event_id"),
         col("ts"),
@@ -71,8 +78,10 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$big/events.parquet")
 
     val docs = spark.read.parquet(s"$big/documents.parquet").count()
-    println(s"corpus: $docs documents, ${ne * factor} embeddings, " +
-      s"${nEv * factor} events (${factor}x sf0.1)")
+    val nEmb = spark.read.parquet(s"$big/embeddings.parquet").count()
+    val nEvt = spark.read.parquet(s"$big/events.parquet").count()
+    println(s"corpus: $docs documents, $nEmb embeddings, " +
+      s"$nEvt events (${factor}x sf0.1)")
     val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
     println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
       s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
@@ -96,6 +105,12 @@ object ScaleSmoke {
     time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
     time("dd_cluster")(Dedup.ddCluster(spark, big).count())
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
+    // both simhash band constructions, candidates + full operator: the
+    // wide (8,4) plan must show the candidate set decoupling from the
+    // chunk join's ~N²/2¹⁵ growth (the round-7 scale fix)
+    time("sh_cand_chunk")(Dedup.simhashCandidates(spark, big, wideBands = false).count())
+    time("sh_cand_wide")(Dedup.simhashCandidates(spark, big, wideBands = true).count())
+    time("dd_simhash_wide")(Dedup.ddSimhash(spark, big, wideBands = true).count())
     time("dd_span")(Dedup.ddSpan(spark, big).count())
     time("dd_cdc")(Dedup.ddCdc(spark, big).count())
     time("ta_bm25")(TextAnalysis.taBm25(spark, big).count())

@@ -345,18 +345,49 @@ object Dedup {
     * i.e. iff the signed sum is > 0) — not by a 64-step interpreted
     * `aggregate(sequence(0,63), filter(...))` pass per document.
     *
-    * Bucket-density ceiling (documented scale bound): each of the 4
-    * chunk keys has only 2¹⁶ values, so expected bucket size is
-    * N/65536 and candidate instances grow as ~N²/2¹⁵ — negligible up
-    * to tens of millions of documents (at 20× ScaleSmoke, 100k docs,
-    * mean bucket size is ~1.5), but inherently quadratic beyond that.
-    * Past ~10⁸ documents, widen the band keys to chunk PAIRS (6 tables
-    * of 32-bit keys — the Manku/Jain/Sarma WWW'07 construction; trades
-    * the measured 0.92 recall for a guaranteed-collision bound at
-    * lower Hamming radii) or shard the pass by a coarse content key
-    * (lang, source). The minhash operator is the default near-dup path
-    * at that scale; simhash is the cheap high-precision screen. */
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    * Band construction is CORPUS-SIZE-SWITCHED (both shapes from the
+    * general Manku/Jain/Sarma WWW'07 block design in [[simhashBands]]):
+    *
+    *  - N ≤ [[simhashPairSwitch]]: 4 tables keyed by one 16-bit chunk.
+    *    Pigeonhole-complete for Hamming ≤ 3 (6 differing bits can touch
+    *    all 4 chunks, so recall at the d ≤ 6 cut is partial — measured
+    *    0.93/0.92 vs exact Jaccard at the gate SFs, pinned in
+    *    FunctionsSpec). Expected bucket size N/2¹⁶ → candidate
+    *    instances ~N²/2¹⁵: fine to ~10⁷ docs, inherently quadratic
+    *    past that.
+    *  - N > [[simhashPairSwitch]]: 8 blocks of 8 bits keyed on 4-block
+    *    combinations — C(8,4) = 70 tables of 32-bit keys.
+    *    Pigeonhole-complete for Hamming ≤ 4 (≤ 4 differing bits touch
+    *    ≤ 4 blocks, leaving a 4-subset intact — a STRONGER guarantee
+    *    than the small plan's d ≤ 3); expected bucket size N/2³² keeps
+    *    the self-join linear to ~10¹⁰ docs. The 70-way band fan-out is
+    *    a map-side, linear cost — the price of removing the quadratic
+    *    candidate term. Measured at the gate SFs: recall vs exact
+    *    Jaccard 0.93/0.96 (≥ the 0.92 floor on both constructions,
+    *    pinned in FunctionsSpec) with ~6× fewer candidates than the
+    *    chunk join even at 5k docs; the candidate gap widens as N²/2¹⁵
+    *    vs N·70/2³²·N. Outputs differ only in which d ∈ [4,6] pairs the
+    *    bands surface (each construction finds some the other misses),
+    *    which is why the switch — not the wide design alone — keeps the
+    *    small-corpus output byte-stable. Sharding by a coarse content
+    *    key (lang, source) stacks with either shape.
+    *
+    * The Hamming ≤ 6 cut is re-verified exactly on every candidate in
+    * both shapes, so the switch affects recall only, never precision.
+    * The minhash operator remains the default near-dup path at 100 TB;
+    * simhash is the cheap high-precision screen. */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    ddSimhash(spark, dir,
+      wideBands = graft.Tables.footerRowCount(spark, dir, "documents")
+        > simhashPairSwitch)
+
+  /** Above this corpus size the 16-bit chunk buckets average ≥ ~150
+    * members (N/2¹⁶) and the chunk self-join's ~N²/2¹⁵ candidate term
+    * starts to dominate — switch to the wide (8, 4) block tables. */
+  private[graft] val simhashPairSwitch: Long = 10L * 1000 * 1000
+
+  private[graft] def ddSimhash(spark: SparkSession, dir: String,
+      wideBands: Boolean): DataFrame = {
     // per-row signature straight off the text: map-only — no explode +
     // groupBy shuffle of every token hash ([[SimHashRow]] tokenizes and
     // hashes internally, bit-identical to simhash64(xxhash64(tok)) over
@@ -376,27 +407,65 @@ object Dedup {
     // infers isnotnull(simhash), pushes it through the projection, and
     // the scan evaluates the whole signature a second time as a data
     // filter — measured 1.6× on this operator.
-    val docs = t(spark, dir, "documents")
-      .where(col("text").isNotNull)
-      .select(col("doc_id"),
-        coalesce(SimHashRow.simhash64_row(col("text")), lit(0L)).as("simhash"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-    val chunkCols = (0 until 4).map(j =>
-      shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
-    val chunks = docs.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk")))
-    chunks.alias("a").join(chunks.alias("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    simhashJoin(simhashScaledBands(simhashDocs(spark, dir), wideBands))
       // filter BEFORE the distinct: the Hamming cut is computable per
       // pair instance, so the dedup shuffle only carries survivors
       .where(col("hamming") <= 6)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  private def simhashScaledBands(docs: DataFrame,
+      wideBands: Boolean): DataFrame =
+    if (wideBands) simhashBands(docs, 8, 4) else simhashBands(docs, 16, 1)
+
+  private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        coalesce(SimHashRow.simhash64_row(col("text")), lit(0L)).as("simhash"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+
+  private def simhashChunk(bits: Int)(j: Int): Column =
+    shiftright(col("simhash"), j * bits).bitwiseAND(lit((1L << bits) - 1))
+
+  /** (doc_id, simhash, tbl, key) band rows — the general
+    * Manku/Jain/Sarma block design: the 64-bit signature splits into
+    * 64/`chunkBits` blocks; one table per `chunksPerKey`-subset of
+    * blocks, keyed by the subset's bit concatenation. A Hamming-d pair
+    * collides in SOME table whenever its differing bits leave one
+    * subset intact — guaranteed for d ≤ blocks − chunksPerKey
+    * (pigeonhole). Default plan: (16, 1) = 4 tables of 16-bit keys;
+    * scale plan: (8, 4) = C(8,4) = 70 tables of 32-bit keys. */
+  private[graft] def simhashBands(docs: DataFrame, chunkBits: Int,
+      chunksPerKey: Int): DataFrame = {
+    val chunk = simhashChunk(chunkBits) _
+    val keys = (0 until 64 / chunkBits).combinations(chunksPerKey)
+      .map(s => s.tail.foldLeft(chunk(s.head))(
+        (k, j) => k * lit(1L << chunkBits) + chunk(j)))
+      .toSeq
+    docs.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("tbl", "key")))
+  }
+
+  /** Band-table self-join → (doc_a, doc_b, hamming) pair instances —
+    * the shape both constructions share; the Hamming cut downstream is
+    * exact, so band choice affects recall only, never precision. */
+  private def simhashJoin(bands: DataFrame): DataFrame =
+    bands.alias("a").join(bands.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+
+  /** Distinct candidate pairs BEFORE the Hamming verify — factored out
+    * (like [[minhashCandidates]]) so the scale smoke can measure the
+    * two band constructions' candidate growth against each other. */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String,
+      wideBands: Boolean): DataFrame =
+    simhashJoin(simhashScaledBands(simhashDocs(spark, dir), wideBands))
+      .select("doc_a", "doc_b")
+      .distinct()
 
   /** Embedding-cosine near-dup demo: top-40 most similar vector pairs.
     * Small-side broadcast nested loop is fine at demo scale; the scale

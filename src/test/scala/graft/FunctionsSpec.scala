@@ -100,6 +100,33 @@ class FunctionsSpec extends AnyFunSuite {
     // chunks, Hamming ≤ 6) — pinned so a chunking change can't silently
     // degrade recall the way the 0.8 floor pins ss_ivf_topk
     assert(recall >= 0.92, s"simhash recall $recall over ${exact.size} pairs")
+    // the default at gate SF must be the 16-bit chunk plan (the corpus
+    // is far below the wide-band switch), keeping the driver's
+    // rows-only check byte-stable across the round-7 band refactor
+    val chunk = Dedup.ddSimhash(spark, sf, wideBands = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == chunk, "default banding changed at gate SF")
+  }
+
+  test("simhash wide (8,4) banding holds the recall floor with fewer candidates") {
+    // the >10M-doc scale plan: C(8,4)=70 tables of 32-bit keys
+    // (Manku/Jain/Sarma block design, Hamming ≤ 4 pigeonhole-complete
+    // vs the chunk plan's ≤ 3). Same 0.92 recall floor as the default
+    // plan — measured 0.9286 at sf0.001, 0.96 at sf0.01 — so the
+    // corpus-size switch never degrades below the published spec.
+    val exact = Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.ddSimhash(spark, sf, wideBands = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & wide).size.toDouble / exact.size
+    assert(recall >= 0.92, s"wide-band recall $recall over ${exact.size} pairs")
+    // every emitted pair passed the exact Hamming ≤ 6 verify, and the
+    // 32-bit keys must cut the candidate set well below the 16-bit
+    // chunk join's even at this corpus size (measured 393 vs 2459)
+    val candChunk = Dedup.simhashCandidates(spark, sf, wideBands = false).count()
+    val candWide = Dedup.simhashCandidates(spark, sf, wideBands = true).count()
+    assert(candWide * 2 < candChunk,
+      s"wide banding should shrink candidates: $candWide vs $candChunk")
   }
 
   test("IVF top-k achieves reasonable recall vs brute force") {
