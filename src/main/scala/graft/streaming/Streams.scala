@@ -181,7 +181,21 @@ object Streams {
     * an arrival to a full bucket still pairs against the existing
     * members but is not retained as a member itself, and the drop is
     * counted on `drops` (so member↔member pairs stay complete; only
-    * dropped↔later-arrival pairs can be missed, visibly). */
+    * dropped↔later-arrival pairs can be missed, visibly).
+    *
+    * CORPUS CONTRACT: the final exact verify is a stream-static join
+    * against `corpus`, and a static side is re-read per micro-batch but
+    * NOT unioned with the stream — so `corpus` must contain every
+    * streamed document's text by the time its candidate pairs reach the
+    * verify. A pair of two brand-new documents whose texts are not yet
+    * in `corpus` silently drops at the verify join (candidates survive
+    * state; verification cannot score them — pinned by the StreamsSpec
+    * stale-corpus case). On a live crawl, point `corpus` at the table
+    * the ingest path appends to (e.g. the Delta/parquet landing table
+    * the same stream sinks into); state deliberately carries only
+    * (doc_id, ts) — 16 bytes/member instead of the full shingle arrays,
+    * which for typical documents are ~100× larger and would make the
+    * horizon's state bound a memory hazard rather than a guarantee. */
   def nearDupStream(docs: DataFrame, corpus: DataFrame,
       horizonMinutes: Int = 1440,
       maxBucketMembers: Int = 1024,

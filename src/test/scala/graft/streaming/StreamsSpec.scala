@@ -194,6 +194,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupStream's verify drops pairs the static corpus does not cover") {
+    import StreamsSpec.Doc
+    // the corpus contract (see nearDupStream scaladoc): candidates
+    // verify via a stream-static join, so a pair of two brand-new
+    // documents surfaces only if `corpus` already carries their texts.
+    // Docs 21/22 are identical → they band-collide and the stateful
+    // stage emits the candidate — but with a stale corpus (doc 21
+    // only) the verify join cannot score doc 22 and the pair must
+    // drop, NOT crash and NOT emit a partial row.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(Doc(21L, ts(1), text), Doc(22L, ts(2), text))
+    import spark.implicits._
+    def run(corpus: org.apache.spark.sql.DataFrame, name: String) = {
+      val mem = MemoryStream[Doc](spark)
+      val q = Streams.nearDupStream(mem.toDF(), corpus)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(docs.toIndexedSeq)
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val stale = run(Seq((21L, text)).toDF("doc_id", "text"), "near_dup_stale")
+    assert(stale.isEmpty,
+      s"pair must drop when the corpus lacks a member's text: $stale")
+    val current = run(docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "near_dup_current")
+    assert(current == Set((21L, 22L)),
+      s"same stream with a covering corpus must emit the pair: $current")
+  }
+
   test("near-dup band buckets are evicted past the watermark horizon") {
     import StreamsSpec.Doc
     val sf = SparkTestSession.sf
