@@ -18,6 +18,14 @@ object QuickVerify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, sfDir, outDir, names)
+    spark.stop()
+  }
+
+  /** The dump body, callable on a caller-owned session (EdgeGateSpec
+    * runs it on the shared test session — `main` would stop it). */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outDir: String, names: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -36,6 +44,5 @@ object QuickVerify {
     val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The degenerate-corpus oracle gates, in the DEFAULT test path.
+  *
+  * Rounds 5–6 found 9+ real engine-vs-oracle parity bugs on corpora the
+  * driver's sf tables never exercise (null/empty/whitespace texts,
+  * malformed JSON, zero-norm vectors, zero-row tables), but the gate
+  * lived only in the hand-run `tools/run_edge_gate.sh`. This suite runs
+  * the SAME gate — python generator, QuickVerify dump on the shared
+  * test session, DuckDB comparison via `tools/check_correctness.py` —
+  * so `sbt test` fails if any edge-gate query diverges.
+  *
+  * The query set is derived by EXCLUSION (everything in
+  * `SparkEntry.queries` except the pure-TPC-H relational queries, which
+  * read only the symlinked sf tables and are exercised by the standard
+  * driver gate): a newly registered documents/embeddings/events query
+  * is edge-gated automatically, not by remembering to edit a list. */
+class EdgeGateSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import scala.sys.process._
+
+  private val repo = new java.io.File(sys.props("user.dir")).getAbsolutePath
+  private val tpchOnly = Set(
+    "q1_pricing_summary", "q2_revenue_by_nation", "q3_top_orders",
+    "q4_priority_exists", "q5_window_top_per_customer",
+    "q6_forecast_revenue", "q7_rollup", "q8_set_ops", "q9_anti_join",
+    "q13_above_avg_customers", "q16_pivot")
+  private val names = SparkEntry.queries.keySet -- tpchOnly
+
+  private def gate(mode: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"edge-gate-$mode")
+      .toAbsolutePath.toString
+    val out = s"$dir.out"
+    val genArgs = Seq("python3", s"$repo/tools/make_edge_corpus.py", dir,
+      "/root/testdata/sf0.001") ++ (if (mode == "empty") Seq("empty") else Nil)
+    assert(genArgs.! == 0, s"corpus generator failed: $genArgs")
+    QuickVerify.run(spark, dir, out, names)
+    val log = new StringBuilder
+    val rc = Process(Seq("python3", s"$repo/tools/check_correctness.py",
+        dir, out))
+      .run(ProcessLogger(l => log.append(l).append('\n'))).exitValue()
+    val report = log.toString
+    assert(rc == 0 && report.contains(", 0 fail"),
+      s"$mode-corpus oracle gate diverged:\n" +
+        report.linesIterator.filter(!_.startsWith("PASS")).mkString("\n"))
+    // dd_simhash / ss_ivf_topk are approximate-by-design (no oracle
+    // SQL) — QuickVerify still runs them above, so the edge corpus
+    // exercises their not-crashing; the checker hash-gates the rest
+    val oracled = (names & SparkEntry.oracleSql.keySet).size
+    val passed = report.linesIterator.count(_.startsWith("PASS "))
+    assert(passed == oracled,
+      s"expected $oracled oracle-gated queries, checker saw $passed")
+  }
+
+  test("degenerate-document corpus: full oracle parity") { gate("edge") }
+  test("zero-row tables: full oracle parity") { gate("empty") }
+}
