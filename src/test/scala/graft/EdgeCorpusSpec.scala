@@ -144,6 +144,98 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(mh == allPairs, s"minhash: ${mh.size} pairs")
   }
 
+  /** Randomized-corpus differential property: 50 generated corpora
+    * (unicode tokens, planted dup clusters, null/empty/whitespace
+    * salts) checked against the brute-force reference for the whole
+    * exact/ngram/minhash family — including the rounded jaccard
+    * VALUES, not just the pair sets. The ScalaCheck seed is FIXED:
+    * corpora are reproducible, so the strong `lsh == exact` assertion
+    * (banding recall has a ~1% theoretical miss at the j = 0.5
+    * boundary per pair) stays deterministic — a failure is a real
+    * regression, never generator luck. */
+  test("exact/ngram/minhash match brute force on 50 random corpora") {
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "数据", "模型", "训练", "🚀", "café", "naïve", "ßharp", "x1", "y2",
+      "z-3", "Ωmega", "a@b.co", "http://x.io", "123", "456.789")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    // a corpus: base docs + a dup cluster layer (identical copies,
+    // appended-token near-dups, case-perturbed docs) + degenerate salts
+    val corpusGen: Gen[List[String]] = for {
+      k <- Gen.chooseNum(2, 12)
+      base <- Gen.listOfN(k, docGen)
+      nd <- Gen.chooseNum(0, 8)
+      dups <- Gen.listOfN(nd, for {
+        src <- Gen.oneOf(base)
+        mode <- Gen.chooseNum(0, 2)
+        tok <- Gen.oneOf(vocab)
+      } yield mode match {
+        case 0 => src                             // identical copy
+        case 1 => s"$src $tok"                    // appended token
+        case _ => src.toUpperCase                 // case-perturbed
+      })
+      salts <- Gen.someOf(Seq[String](null, "", "   ", "\tq r s\t", " lone "))
+    } yield base ++ dups ++ salts
+
+    def round4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refTokenSet(t: String): Set[String] = {
+      var b = 0; var e = t.length
+      while (b < e && t.charAt(b) == ' ') b += 1
+      while (e > b && t.charAt(e - 1) == ' ') e -= 1
+      t.substring(b, e).split("\\s+", -1).toSet
+    }
+    var seed = rng.Seed(20260813L)
+    for (i <- 1 to 50) {
+      val texts = corpusGen.apply(Gen.Parameters.default, seed)
+        .getOrElse(List("fallback doc"))
+      seed = seed.next
+      val corpus = texts.zipWithIndex.map { case (t, j) => (j + 1L, t) }
+      val d = java.nio.file.Files.createTempDirectory(s"rand-corpus-$i")
+        .toString
+      corpus.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("rand"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+      // brute-force references on this corpus
+      val shs = corpus.collect { case (id, t) if t != null =>
+        id -> refShingles(t) }
+      val refJ = (for {
+        (a, sa) <- shs; (b, sb) <- shs if a < b
+        u = (sa | sb).size
+        j = if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+        if round4(j) >= 0.5
+      } yield (a, b, round4(j))).toSet
+      // exact dedup: group by the distinct token SET (sorting only
+      // canonicalizes the fingerprint string, set identity is what
+      // groups); both engines group the null-text docs together
+      val refEx = corpus
+        .groupBy { case (_, t) => Option(t).map(refTokenSet) }
+        .values.map(_.map(_._1)).filter(_.size > 1)
+        .flatMap(g => g.map(id => (id, g.min, g.size.toLong))).toSet
+
+      val gotJ = functions.Dedup.ddNgramJaccard(spark, d)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotJ == refJ, s"corpus $i ngram: got $gotJ expected $refJ " +
+        s"texts=$corpus")
+      val gotMh = functions.Dedup.ddMinhashLsh(spark, d)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotMh == refJ, s"corpus $i minhash: got $gotMh expected $refJ " +
+        s"texts=$corpus")
+      val gotEx = functions.Dedup.ddExact(spark, d)
+        .select("doc_id", "canonical", "group_size")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotEx == refEx, s"corpus $i exact: got $gotEx expected $refEx " +
+        s"texts=$corpus")
+    }
+  }
+
   test("dd_span and dd_cdc report every non-null doc exactly once") {
     val span = functions.Dedup.ddSpan(spark, dir)
       .select("doc_id").as[Long].collect().toSeq
