@@ -122,6 +122,10 @@ object ScaleSmoke {
     // exercises the TakeOrdered path the sf corpus (31 tokens) never hits
     time("ta_vocab_k100")(TextAnalysis.taVocab(spark, big, 100).count())
     time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
+    // corpus-size-routed: exact broadcast loop at <=2^16 vectors (20x =
+    // 40k), bucketed IVF-cell pairing above (40x = 80k) — the factor
+    // sweep exercises both regimes of the round-7 routing
+    time("dd_embed_cosine")(Dedup.ddEmbedCosine(spark, big).count())
     // events family: per-user windows (sessionize, as-of) must scale
     // with the USER population, the range join with its bucket grid
     import graft.queries.Relational

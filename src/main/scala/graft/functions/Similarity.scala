@@ -84,30 +84,7 @@ object Similarity {
     * construction); the ScalaTest spec asserts recall against
     * ssCosineTopK. */
   def ssIvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = nonZero(t(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v"))))
-    // Corpus size from parquet footer metadata — the previous e.count()
-    // here was a full extra pass over the table before the real job.
-    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
-    val step = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
-    val cents = e.where(col("vec_id") % step === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-
-    // Assign every vector to its nearest centroid (cosine, ties → min
-    // c_id). min_by with a (−cos, c_id) key is a hash aggregate with
-    // map-side partial combine — the N×√N scored stream collapses to N
-    // compact rows before the shuffle; the previous row_number window
-    // shuffled and SORTED all N×√N rows. first() is safe: v/nrm are
-    // constant within a vec_id group.
-    val assigned = spread(e).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min_by(col("c_id"),
-          struct(negate(col("c_cos")).as("nc"), col("c_id"))).as("cluster"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+    val (e, cents, assigned) = ivfParts(spark, dir)
 
     // Each query probes its nprobe nearest centroids. Query vectors come
     // straight from `e` (they need no cluster assignment), so `assigned`
@@ -136,6 +113,40 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
     rankTopK(scored, "cos")
+  }
+
+  /** The IVF building blocks — (vectors, centroids, assignments) —
+    * shared by [[ssIvfTopK]] and `Dedup.ddEmbedCosine`'s bucketed
+    * route. Returned as a tuple so ssIvfTopK keeps referencing the
+    * SAME `e`/`cents` instances for its probe side (identical subtrees
+    * → one scan + one reused broadcast, pinned in PlanSpec). */
+  private[graft] def ivfParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = nonZero(t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))))
+    // Corpus size from parquet footer metadata — the previous e.count()
+    // here was a full extra pass over the table before the real job.
+    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    val step = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
+    val cents = e.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+    // Assign every vector to its nearest centroid (cosine, ties → min
+    // c_id). min_by with a (−cos, c_id) key is a hash aggregate with
+    // map-side partial combine — the N×√N scored stream collapses to N
+    // compact rows before the shuffle; the previous row_number window
+    // shuffled and SORTED all N×√N rows. first() is safe: v/nrm are
+    // constant within a vec_id group.
+    val assigned = spread(e).join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("c_id"),
+          struct(negate(col("c_cos")).as("nc"), col("c_id"))).as("cluster"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+    (e, cents, assigned)
   }
 
   /** Scalar-quantized (int8) cosine top-k: each vector stored as 64

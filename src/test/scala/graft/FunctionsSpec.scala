@@ -129,6 +129,38 @@ class FunctionsSpec extends AnyFunSuite {
       s"wide banding should shrink candidates: $candWide vs $candChunk")
   }
 
+  test("dd_embed_cosine's bucketed route recovers planted near-dup pairs") {
+    import spark.implicits._
+    // the >2^16-vector route blocks pairs by IVF cell; its job is
+    // finding NEAR-DUPLICATE vectors (cos ≈ 1), not reproducing the
+    // noise-floor ordering of random pairs (the sf corpora have no
+    // pair above cos 0.52, where any blocking method legitimately
+    // scatters ties). Plant 20 true near-dup pairs (relative noise
+    // 1e-2) among 160 random 32-dim vectors and require BOTH routes
+    // to surface every planted pair in the top-40. Fixed seed →
+    // deterministic.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(_ => vec())
+    val planted = bases.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, dup))
+    }
+    val noise = (0 until 160).map(i => (40L + i, vec()))
+    val d = java.nio.file.Files.createTempDirectory("embed-route").toString
+    (planted ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val expect = (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet
+    def top40(exactMax: Long) = Dedup.ddEmbedCosine(spark, d, exactMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top40(Long.MaxValue)
+    assert(expect.subsetOf(exact), s"exact route missed ${expect -- exact}")
+    val bucketed = top40(0L)
+    assert(expect.subsetOf(bucketed),
+      s"bucketed route missed ${expect -- bucketed}")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val exact = Similarity.ssCosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
