@@ -186,6 +186,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan.contains("isnotnull(simhash64_row"), finalPlan.take(3000))
   }
 
+  test("dd_simhash wide (8,4) bands keep the one-scan reused-exchange shape") {
+    // the >10M-doc band plan must inherit every plan property of the
+    // default: map-only signature, 70-way band fan-out off ONE
+    // signature exchange that both self-join sides read back, one
+    // corpus scan, no signature re-evaluation as a pushed scan filter
+    val df = graft.functions.Dedup.ddSimhash(spark, sf, wideBands = true)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("simhash64_row"), finalPlan.take(3000))
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1, finalPlan.take(3000))
+    assert(!finalPlan.contains("isnotnull(simhash64_row"), finalPlan.take(3000))
+  }
+
+  test("dd_embed_cosine's bucketed route runs the IVF assignment once") {
+    // past 2^16 vectors the route self-joins the ivfParts assignment on
+    // the cluster key: the explicit repartition is the materialization
+    // point both sides must READ BACK — without reuse the whole
+    // N×√N assignment pass (and its two embeddings scans) runs twice
+    val df = graft.functions.Dedup.ddEmbedCosine(spark, sf, exactMax = 0)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
+    // one scan feeds the vectors, one the centroid broadcast — the
+    // self-join must not add a third/fourth
+    assert("Scan parquet".r.findAllIn(finalPlan).length <= 2, finalPlan.take(3000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+    // the global top-40 is a TakeOrdered, not a full sort of the pairs
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan.take(3000))
+  }
+
   test("near-dup verify computes the shingle pass once behind a reused doc_id exchange") {
     val df = graft.functions.Dedup.ddNgramJaccard(spark, sf)
     df.collect() // AQE: reuse nodes appear only in the final plan
