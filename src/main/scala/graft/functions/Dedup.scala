@@ -604,6 +604,12 @@ object Dedup {
       cached = next
       labels = next.select("node", "label")
     }
+    // the final labels are materialized (the convergence count ran), so
+    // the edge cache can be released — a long-lived session would
+    // otherwise hold the edge blocks until shutdown. Lineage stays
+    // intact: an evicted label partition would recompute through the
+    // unpersisted edges, slower but correct.
+    edges.unpersist()
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster"))
       .withColumn("cluster_size",

@@ -233,6 +233,30 @@ class EdgeCorpusSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(gotEx == refEx, s"corpus $i exact: got $gotEx expected $refEx " +
         s"texts=$corpus")
+
+      // every 5th corpus: dd_cluster vs brute-force union-find over the
+      // reference pair graph (the iterative min-label propagation is
+      // the most intricate operator in the family — each check runs
+      // the whole ngram pipeline plus the label loop, so sample)
+      if (i % 5 == 0) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        refJ.foreach { case (a, b, _) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = refJ.flatMap(p => Seq(p._1, p._2))
+        val refCl = members.groupBy(find).values
+          .flatMap(g => g.map(id => (id, g.min, g.size.toLong))).toSet
+        val gotCl = functions.Dedup.ddCluster(spark, d)
+          .select("doc_id", "cluster", "cluster_size")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(gotCl == refCl, s"corpus $i cluster: got $gotCl " +
+          s"expected $refCl texts=$corpus")
+      }
     }
   }
 
