@@ -499,7 +499,7 @@ object Dedup {
   private[graft] val embedCosineExactMax: Long = 1L << 16
 
   private[graft] def ddEmbedCosine(spark: SparkSession, dir: String,
-      exactMax: Long): DataFrame = {
+      exactMax: Long, maxCell: Long = embedCosineExactMax): DataFrame = {
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
@@ -517,14 +517,38 @@ object Dedup {
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(40)
     } else {
-      // the explicit cluster-key repartition is the materialization
-      // point both self-join sides read back (ReusedExchange) — the
-      // same pattern as the simhash band join; without it each side
-      // recomputes the whole N×√N assignment pass
+      // Mega-cell guard (the hot-bucket quadratic, embed edition):
+      // cells are ~√N in expectation EVEN on clustered corpora, because
+      // centroids are data-sampled — a dense region contributes
+      // proportionally more centroids. The exception is EXACT-duplicate
+      // blobs (failed encodes, constant embeddings): identical vectors
+      // score cos = 1.0 against their identical local centroids, every
+      // tie breaks to the same minimum c_id, and the whole blob lands
+      // in ONE cell of size m emitting m²/2 pairs. Cells over `maxCell`
+      // members are therefore hash-split into ⌈m/maxCell⌉ shards and
+      // pairs score within a shard only — per-cell work is bounded by
+      // ~m·maxCell and the corpus total by ~N·maxCell (linear). The
+      // trade: cross-shard pairs of a mega-cell are not scored (a
+      // fraction ~1−1/shards), graceful for top-40 mining since a
+      // mega-cell is near-uniform by construction — every shard is
+      // full of its top pairs (pinned in FunctionsSpec on a 300-dup
+      // blob). Cells under the cap get shards = 1: behavior unchanged.
+      //
+      // The explicit cluster-key repartition is the materialization
+      // point that the cell-count window consumes and both self-join
+      // sides read back (ReusedExchange; partitioning by `cluster`
+      // alone still satisfies the (cluster, shard) join's clustered
+      // distribution) — the N×√N assignment pass runs exactly once.
+      val byCell = Window.partitionBy("cluster")
       val a = Similarity.ivfParts(spark, dir)._3
         .repartition(col("cluster"))
+        .withColumn("shards",
+          ceil(count(lit(1)).over(byCell) / lit(maxCell.toDouble)).cast("long"))
+        .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
+        .drop("shards")
       a.alias("a").join(a.alias("b"),
           col("a.cluster") === col("b.cluster") &&
+          col("a.shard") === col("b.shard") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(VectorOps.dot(col("a.v"), col("b.v")) /

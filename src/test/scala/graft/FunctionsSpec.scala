@@ -161,6 +161,33 @@ class FunctionsSpec extends AnyFunSuite {
       s"bucketed route missed ${expect -- bucketed}")
   }
 
+  test("dd_embed_cosine caps mega-cells and still surfaces their top pairs") {
+    import spark.implicits._
+    // an exact-duplicate blob (failed encodes, constant embeddings) is
+    // the one shape that defeats data-sampled centroids: every member
+    // ties at cos = 1.0 and collapses into the min-c_id cell. With a
+    // tiny maxCell the blob must be hash-sharded — the operator
+    // completes with bounded per-cell work and the top-40 still comes
+    // back all-duplicate pairs (every shard of a mega-cell is full of
+    // its top pairs)
+    val rnd = new scala.util.Random(11)
+    val blob = (0 until 300).map(i =>
+      (i.toLong, Array.fill(32)(0.5f)))
+    val noise = (0 until 60).map(i =>
+      (300L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val d = java.nio.file.Files.createTempDirectory("embed-megacell").toString
+    (blob ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Dedup.ddEmbedCosine(spark, d, exactMax = 0, maxCell = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 40, s"expected a full top-40, got ${rows.length}")
+    assert(rows.forall(_._3 == 1.0),
+      s"mega-cell shards must keep scoring duplicate pairs: ${rows.take(5).toSeq}")
+    assert(rows.forall { case (a, b, _) => a < 300 && b < 300 },
+      s"top pairs must come from the duplicate blob")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val exact = Similarity.ssCosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
