@@ -348,14 +348,14 @@ object Dedup {
     * Band construction is CORPUS-SIZE-SWITCHED (both shapes from the
     * general Manku/Jain/Sarma WWW'07 block design in [[simhashBands]]):
     *
-    *  - N ≤ [[simhashPairSwitch]]: 4 tables keyed by one 16-bit chunk.
+    *  - N ≤ [[simhashWideSwitch]]: 4 tables keyed by one 16-bit chunk.
     *    Pigeonhole-complete for Hamming ≤ 3 (6 differing bits can touch
     *    all 4 chunks, so recall at the d ≤ 6 cut is partial — measured
     *    0.93/0.92 vs exact Jaccard at the gate SFs, pinned in
     *    FunctionsSpec). Expected bucket size N/2¹⁶ → candidate
     *    instances ~N²/2¹⁵: fine to ~10⁷ docs, inherently quadratic
     *    past that.
-    *  - N > [[simhashPairSwitch]]: 8 blocks of 8 bits keyed on 4-block
+    *  - N > [[simhashWideSwitch]]: 8 blocks of 8 bits keyed on 4-block
     *    combinations — C(8,4) = 70 tables of 32-bit keys.
     *    Pigeonhole-complete for Hamming ≤ 4 (≤ 4 differing bits touch
     *    ≤ 4 blocks, leaving a 4-subset intact — a STRONGER guarantee
@@ -379,12 +379,12 @@ object Dedup {
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     ddSimhash(spark, dir,
       wideBands = graft.Tables.footerRowCount(spark, dir, "documents")
-        > simhashPairSwitch)
+        > simhashWideSwitch)
 
   /** Above this corpus size the 16-bit chunk buckets average ≥ ~150
     * members (N/2¹⁶) and the chunk self-join's ~N²/2¹⁵ candidate term
     * starts to dominate — switch to the wide (8, 4) block tables. */
-  private[graft] val simhashPairSwitch: Long = 10L * 1000 * 1000
+  private[graft] val simhashWideSwitch: Long = 10L * 1000 * 1000
 
   private[graft] def ddSimhash(spark: SparkSession, dir: String,
       wideBands: Boolean): DataFrame = {

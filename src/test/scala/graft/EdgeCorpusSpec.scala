@@ -109,6 +109,14 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(got.contains((5L, 6L)), got) // identical text → hamming 0
     assert(got.forall { case (a, b) =>
       a != 1L && b != 1L && a != 10L && b != 10L }, got)
+    // the wide (8,4) scale bands inherit the same edge semantics: an
+    // identical pair is Hamming 0 (all 70 tables collide), null docs
+    // are filtered before the signature in both plans
+    val wide = functions.Dedup.ddSimhash(spark, dir, wideBands = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(wide.contains((5L, 6L)), wide)
+    assert(wide.forall { case (a, b) =>
+      a != 1L && b != 1L && a != 10L && b != 10L }, wide)
   }
 
   test("the dfCap trade on an all-identical corpus is exactly as documented") {
