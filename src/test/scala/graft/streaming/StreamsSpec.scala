@@ -194,6 +194,52 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup equals batch on randomized corpora") {
+    import StreamsSpec.Doc
+    // the streaming≡batch claim, fuzzed: 5 fixed-seed corpora with dup
+    // clusters and a null-text salt, streamed in 3 arrival waves —
+    // the stateful banding + stream-static verify must reproduce the
+    // batch operator's pair set every time (all arrivals inside the
+    // default horizon)
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "数据", "模型",
+      "🚀", "café", "x1", "y2")
+    for (i <- 1 to 5) {
+      val base = (0 until 6 + rnd.nextInt(6)).map(_ =>
+        (0 until 4 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val dups = (0 until 2 + rnd.nextInt(4)).map { _ =>
+        val src = base(rnd.nextInt(base.size))
+        if (rnd.nextBoolean()) src else s"$src ${vocab(rnd.nextInt(vocab.size))}"
+      }
+      val texts = (base ++ dups ++ Seq(null: String))
+      val corpus = texts.zipWithIndex.map { case (t, j) => (j + 1L, t) }
+      val d = java.nio.file.Files.createTempDirectory(s"stream-rand-$i").toString
+      corpus.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("rand"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val docs = corpus.map { case (id, t) => Doc(id, ts(id + 1), t) }
+
+      val mem = MemoryStream[Doc](spark)
+      val out = Streams.nearDupStream(mem.toDF(),
+        graft.Tables.t(spark, d, "documents"))
+      val q = out.writeStream.format("memory").queryName(s"near_dup_rand_$i")
+        .outputMode("append").start()
+      try {
+        docs.grouped(math.max(docs.length / 3, 1)).foreach { wave =>
+          mem.addData(wave.toIndexedSeq); q.processAllAvailable()
+        }
+        val streamed = spark.table(s"near_dup_rand_$i").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batch = graft.functions.Dedup.ddMinhashLsh(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(streamed == batch, s"corpus $i: missing=${batch -- streamed} " +
+          s"extra=${streamed -- batch} texts=$corpus")
+      } finally q.stop()
+    }
+  }
+
   test("nearDupStream's verify drops pairs the static corpus does not cover") {
     import StreamsSpec.Doc
     // the corpus contract (see nearDupStream scaladoc): candidates
