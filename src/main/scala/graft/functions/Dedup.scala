@@ -387,38 +387,37 @@ object Dedup {
   private[graft] val simhashWideSwitch: Long = 10L * 1000 * 1000
 
   private[graft] def ddSimhash(spark: SparkSession, dir: String,
-      wideBands: Boolean): DataFrame = {
-    // per-row signature straight off the text: map-only — no explode +
-    // groupBy shuffle of every token hash ([[SimHashRow]] tokenizes and
-    // hashes internally, bit-identical to simhash64(xxhash64(tok)) over
-    // the exploded stream). Null texts are filtered on the INPUT column
-    // (mirroring the old explode semantics: no rows, no signature) —
-    // filtering on the signature itself would push the predicate below
-    // the projection and evaluate the expensive expression twice per
-    // row. The tiny repartition (16 bytes/doc) is the materialization
-    // point the chunk self-join below reuses — without it each join
-    // side would recompute the whole signature pass (the aggregate's
-    // groupBy exchange used to play this role). The partition count is
-    // EXPLICIT: AQE would coalesce a 1.6 MB exchange to one partition
-    // by size, serializing the compute-dense chunk fan-out + self-join
-    // it feeds (the `spread` problem — see Similarity's scaladoc). The
-    // coalesce makes the signature attribute NON-NULLABLE (the default
-    // never fires behind the text filter): otherwise the join below
-    // infers isnotnull(simhash), pushes it through the projection, and
-    // the scan evaluates the whole signature a second time as a data
-    // filter — measured 1.6× on this operator.
+      wideBands: Boolean): DataFrame =
     simhashJoin(simhashScaledBands(simhashDocs(spark, dir), wideBands))
       // filter BEFORE the distinct: the Hamming cut is computable per
       // pair instance, so the dedup shuffle only carries survivors
       .where(col("hamming") <= 6)
       .distinct()
       .orderBy("doc_a", "doc_b")
-  }
 
   private def simhashScaledBands(docs: DataFrame,
       wideBands: Boolean): DataFrame =
     if (wideBands) simhashBands(docs, 8, 4) else simhashBands(docs, 16, 1)
 
+  /** (doc_id, simhash) — the per-row signature straight off the text:
+    * map-only, no explode + groupBy shuffle of every token hash
+    * ([[SimHashRow]] tokenizes and hashes internally, bit-identical to
+    * simhash64(xxhash64(tok)) over the exploded stream). Null texts are
+    * filtered on the INPUT column (mirroring the old explode semantics:
+    * no rows, no signature) — filtering on the signature itself would
+    * push the predicate below the projection and evaluate the expensive
+    * expression twice per row. The tiny repartition (16 bytes/doc) is
+    * the materialization point the band self-join reuses — without it
+    * each join side would recompute the whole signature pass (the
+    * aggregate's groupBy exchange used to play this role). The
+    * partition count is EXPLICIT: AQE would coalesce a 1.6 MB exchange
+    * to one partition by size, serializing the compute-dense band
+    * fan-out + self-join it feeds (the `spread` problem — see
+    * Similarity's scaladoc). The coalesce makes the signature attribute
+    * NON-NULLABLE (the default never fires behind the text filter):
+    * otherwise the join infers isnotnull(simhash), pushes it through
+    * the projection, and the scan evaluates the whole signature a
+    * second time as a data filter — measured 1.6× on this operator. */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .where(col("text").isNotNull)
@@ -485,8 +484,9 @@ object Dedup {
     *    to ~N·√N/2 scored pairs distributed on the cluster key, at the
     *    usual blocking trade: a true top pair split across clusters is
     *    missed (near-identical vectors land in the same Voronoi cell
-    *    unless they straddle a boundary — FunctionsSpec pins overlap
-    *    vs the exact ranking when forcing this route at gate SF).
+    *    unless they straddle a boundary — FunctionsSpec forces this
+    *    route at gate SF and requires every planted near-dup pair in
+    *    the top-40, plus the mega-cell blob case below).
     *
     * Zero-norm vectors are excluded in both routes (undefined cosine;
     * NaN would top the ranking), mirrored in the oracle. */
