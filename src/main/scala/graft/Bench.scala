@@ -32,7 +32,13 @@ object Bench {
     // fixed warmup aggregate is re-timed before each pass, so a reader
     // comparing sentinel values sees exactly which passes ran contended
     // (the aggregate is constant work — its time varies only with host
-    // load). A pass that THROWS yields None — its fast time-to-failure
+    // load). Reading the artifact: "sentinel" has FOUR entries
+    // bracketing the three passes — sentinel[i]/sentinel[i+1] bound
+    // pass i, and pass_totals[i] is that pass's wall total, so a hot
+    // pass shows as an inflated total between two inflated sentinels;
+    // contention arriving MID-pass can still surface only in the
+    // trailing sentinel (advisory signal, not a proof). A pass that
+    // THROWS yields None — its fast time-to-failure
     // must never win the min over a succeeding pass; a query failing
     // every pass is reported in "failed" with -1.
     def pass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>

@@ -37,11 +37,17 @@ object ScaleSmoke {
     // (j « 0.5), so the true pair set is unchanged.
     // replica-id strides are max(id)+1, NOT row counts: sparse or
     // non-0-based source ids would otherwise collide across copies and
-    // silently merge rows in the scaled corpus (empty table → 0 stride,
-    // nothing to replicate but nothing throws either)
-    def stride(df: org.apache.spark.sql.DataFrame, idCol: String): Long =
-      Option(df.agg(max(idCol)).head.get(0)).map(_.asInstanceOf[Long] + 1)
-        .getOrElse(0L)
+    // silently merge rows in the scaled corpus. getAs[Number] accepts
+    // any integral id type, and a NULL max on a NON-empty table fails
+    // loudly — stride 0 there would silently merge every replica
+    // (empty table → 0 stride, nothing to replicate, fine)
+    def stride(df: org.apache.spark.sql.DataFrame, idCol: String): Long = {
+      val s = Option(df.agg(max(idCol)).head.getAs[Number](0))
+        .map(_.longValue + 1).getOrElse(0L)
+      require(s > 0 || df.isEmpty,
+        s"max($idCol) is NULL on a non-empty table — replica ids would collide")
+      s
+    }
     val boiler = " legal notice all rights reserved"
     val d = Tables.t(spark, src, "documents")
     val n = stride(d, "doc_id")

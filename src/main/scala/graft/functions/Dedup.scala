@@ -19,6 +19,27 @@ import graft.Tables.t
   */
 object Dedup {
 
+  /** Session-tunable scale knobs. The corpus-size switches and
+    * hot-key caps below were chosen from measured candidate curves on
+    * the synthetic corpora (SURVEY §8.4.4), but a real 100 TB operator
+    * tunes them per corpus — boilerplate density, duplicate-blob
+    * frequency and shingle entropy all move the crossovers. Each knob
+    * therefore reads `spark.conf` with the measured value as default:
+    *
+    *  - `graft.ngram.dfCapFactor` (8): dfCap = factor·√N, floor 64
+    *  - `graft.minhash.maxBucket` (1024): LSH band-bucket member cap
+    *  - `graft.simhash.wideSwitch` (10⁷): docs above which the C(8,4)
+    *    wide band tables replace the 16-bit chunk tables
+    *  - `graft.embedCosine.exactMax` (2¹⁶): vectors above which the
+    *    IVF-bucketed route replaces the exact broadcast loop
+    *  - `graft.embedCosine.maxCell` (2¹⁶): IVF-cell member cap above
+    *    which a cell is hash-split into shards (the mega-cell guard)
+    *
+    * KnobsSpec pins that setting each conf actually flips the route /
+    * cap; the driver gate runs at defaults, so its output is unchanged. */
+  private def confLong(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.get(key, default.toString).toLong
+
   /** 3-word shingles (distinct) of the whitespace tokenization — native
     * single-pass expression (see [[ShingleArray]]; the higher-order
     * `transform(sequence, slice)` formulation re-splits the document per
@@ -102,11 +123,12 @@ object Dedup {
     exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base)
   }
 
-  private def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
+  private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
     if (dfCap > 0) dfCap
     else {
+      val factor = confLong(spark, "graft.ngram.dfCapFactor", 8L)
       val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
-      math.max(64L, 8L * math.round(math.sqrt(nDocs.toDouble))).toInt
+      math.max(64L, factor * math.round(math.sqrt(nDocs.toDouble))).toInt
     }
 
   /** The ngram candidate pairs BEFORE exact verification — factored out
@@ -312,7 +334,10 @@ object Dedup {
     * corpus, so the operator stays oracle-checkable. Default mirrors
     * the streaming variant's per-bucket member cap. */
   private[graft] def minhashCandidates(docs: DataFrame,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = -1): DataFrame = {
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else confLong(docs.sparkSession, "graft.minhash.maxBucket", 1024L).toInt
     // per-row sketch over the doc's own shingle array: map-only, the
     // same 32-slot signature the streaming variant projects
     val sigs = docs.select(col("doc_id"),
@@ -325,7 +350,7 @@ object Dedup {
     val kept = bands
       .withColumn("bucket_m", count(lit(1)).over(
         Window.partitionBy("band_idx", "band_hash")))
-      .where(col("bucket_m") <= maxBucket)
+      .where(col("bucket_m") <= cap)
       .drop("bucket_m")
     kept.alias("a").join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -379,12 +404,14 @@ object Dedup {
   def ddSimhash(spark: SparkSession, dir: String): DataFrame =
     ddSimhash(spark, dir,
       wideBands = graft.Tables.footerRowCount(spark, dir, "documents")
-        > simhashWideSwitch)
+        > simhashWideSwitch(spark))
 
   /** Above this corpus size the 16-bit chunk buckets average ≥ ~150
     * members (N/2¹⁶) and the chunk self-join's ~N²/2¹⁵ candidate term
-    * starts to dominate — switch to the wide (8, 4) block tables. */
-  private[graft] val simhashWideSwitch: Long = 10L * 1000 * 1000
+    * starts to dominate — switch to the wide (8, 4) block tables.
+    * Tunable via `graft.simhash.wideSwitch` (see [[confLong]] note). */
+  private[graft] def simhashWideSwitch(spark: SparkSession): Long =
+    confLong(spark, "graft.simhash.wideSwitch", 10L * 1000 * 1000)
 
   private[graft] def ddSimhash(spark: SparkSession, dir: String,
       wideBands: Boolean): DataFrame =
@@ -491,15 +518,22 @@ object Dedup {
     * Zero-norm vectors are excluded in both routes (undefined cosine;
     * NaN would top the ranking), mirrored in the oracle. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame =
-    ddEmbedCosine(spark, dir, embedCosineExactMax)
+    ddEmbedCosine(spark, dir, embedCosineExactMax(spark))
 
   /** Exact-route ceiling: 2¹⁶ vectors keeps the broadcast ≤ ~34 MB and
     * the full pair scoring ≤ ~2·10⁹ dots — past that the N² term is a
-    * cluster-killer and the bucketed route takes over. */
-  private[graft] val embedCosineExactMax: Long = 1L << 16
+    * cluster-killer and the bucketed route takes over.
+    * Tunable via `graft.embedCosine.exactMax` (see [[confLong]] note). */
+  private[graft] def embedCosineExactMax(spark: SparkSession): Long =
+    confLong(spark, "graft.embedCosine.exactMax", 1L << 16)
 
   private[graft] def ddEmbedCosine(spark: SparkSession, dir: String,
-      exactMax: Long, maxCell: Long = embedCosineExactMax): DataFrame = {
+      exactMax: Long, maxCell: Long = -1L): DataFrame = {
+    // a separate knob, NOT exactMax: forcing the bucketed route with
+    // exactMax = 0 must not also zero the mega-cell shard cap
+    val cellCap =
+      if (maxCell > 0) maxCell
+      else confLong(spark, "graft.embedCosine.maxCell", 1L << 16)
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
@@ -543,7 +577,7 @@ object Dedup {
       val a = Similarity.ivfParts(spark, dir)._3
         .repartition(col("cluster"))
         .withColumn("shards",
-          ceil(count(lit(1)).over(byCell) / lit(maxCell.toDouble)).cast("long"))
+          ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
         .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
         .drop("shards")
       a.alias("a").join(a.alias("b"),
@@ -749,6 +783,18 @@ object Dedup {
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cosine"  -> ddEmbedCosine _,
     "dd_span"          -> ((s: SparkSession, d: String) => ddSpan(s, d)),
+    // The SCALE-ROUTE variants, parameter-forced (the ta_vocab_k10
+    // pattern): the gate corpora sit far below both corpus-size
+    // switches, so without these rows the driver gate would only ever
+    // exercise the small-corpus plans — the code that actually runs at
+    // 100 TB (wide C(8,4) band tables, IVF-bucketed cell pairing) would
+    // be ScalaTest-only. Rows-only checks (approximate by design, like
+    // dd_simhash / ss_ivf_topk); EdgeGateSpec's exclusion-derived list
+    // edge-gates them automatically.
+    "dd_simhash_wide" ->
+      ((s: SparkSession, d: String) => ddSimhash(s, d, wideBands = true)),
+    "dd_embed_cosine_bucketed" ->
+      ((s: SparkSession, d: String) => ddEmbedCosine(s, d, exactMax = -1L)),
   )
 
   val oracles: Map[String, String] = Map(

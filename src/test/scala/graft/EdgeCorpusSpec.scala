@@ -268,6 +268,98 @@ class EdgeCorpusSpec extends AnyFunSuite {
     }
   }
 
+  /** Chunk-vs-wide simhash differential property: both constructions
+    * share the exact Hamming ≤ 6 verify, and their band designs are
+    * pigeonhole-complete to d ≤ 3 (4×16-bit chunks) and d ≤ 4 (C(8,4)
+    * block tables). With ground truth from the collected signatures
+    * (the signature expression itself is pinned bit-identical to the
+    * aggregate in ExpressionParitySpec — here only the BAND designs are
+    * under test), on every corpus:
+    *  - precision: each output ⊆ the exact d ≤ 6 pair set;
+    *  - completeness floors: chunk finds ALL d ≤ 3 pairs, wide finds
+    *    ALL d ≤ 4 pairs (so wide ⊇ chunk within d ≤ 4);
+    *  - identity on easy corpora: when every d ≤ 6 pair has d ≤ 3, the
+    *    two outputs must be IDENTICAL — the property the corpus-size
+    *    switch relies on to keep small-corpus output stable.
+    * Fixed ScalaCheck seed → reproducible corpora, deterministic run. */
+  test("chunk and wide simhash bands agree as the block design guarantees") {
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "数据", "模型", "训练", "🚀", "café", "naïve", "x1", "y2", "z-3")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    // heavier dup layer than the jaccard property: simhash pairs need
+    // LOW Hamming distance, which identical copies (d = 0) and
+    // single-token edits (small d) provide; random doc pairs sit near
+    // d ≈ 32 and only exercise the precision bound
+    val corpusGen: Gen[List[String]] = for {
+      k <- Gen.chooseNum(2, 8)
+      base <- Gen.listOfN(k, docGen)
+      nd <- Gen.chooseNum(2, 10)
+      dups <- Gen.listOfN(nd, for {
+        src <- Gen.oneOf(base)
+        mode <- Gen.chooseNum(0, 2)
+        tok <- Gen.oneOf(vocab)
+      } yield mode match {
+        case 0 => src               // identical copy: d = 0
+        case 1 => s"$src $tok"      // appended token: small d
+        case _ => src.toUpperCase   // case flip: moderate d
+      })
+      salts <- Gen.someOf(Seq[String](null, "", "   "))
+    } yield base ++ dups ++ salts
+    var seed = rng.Seed(20260813L)
+    var easyCorpora = 0
+    for (i <- 1 to 25) {
+      val texts = corpusGen.apply(Gen.Parameters.default, seed)
+        .getOrElse(List("fallback doc"))
+      seed = seed.next
+      val corpus = texts.zipWithIndex.map { case (t, j) => (j + 1L, t) }
+      val d = java.nio.file.Files.createTempDirectory(s"simhash-diff-$i")
+        .toString
+      corpus.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("sh"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+      // ground-truth Hamming pairs from the collected signatures (the
+      // same null-text filter simhashDocs applies)
+      val sigs = corpus.toDF("doc_id", "text")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          functions.SimHashRow.simhash64_row(col("text")).as("s"))
+        .as[(Long, Long)].collect().toSeq
+      def pairsAt(maxD: Int): Set[(Long, Long)] = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= maxD
+      } yield (a, b)).toSet
+      val d6 = pairsAt(6); val d4 = pairsAt(4); val d3 = pairsAt(3)
+
+      val chunk = functions.Dedup.ddSimhash(spark, d, wideBands = false)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val wide = functions.Dedup.ddSimhash(spark, d, wideBands = true)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(chunk.subsetOf(d6), s"corpus $i chunk precision: " +
+        s"${chunk -- d6} not within Hamming 6; texts=$corpus")
+      assert(wide.subsetOf(d6), s"corpus $i wide precision: " +
+        s"${wide -- d6} not within Hamming 6; texts=$corpus")
+      assert(d3.subsetOf(chunk), s"corpus $i chunk completeness: " +
+        s"missed d<=3 pairs ${d3 -- chunk}; texts=$corpus")
+      assert(d4.subsetOf(wide), s"corpus $i wide completeness: " +
+        s"missed d<=4 pairs ${d4 -- wide}; texts=$corpus")
+      if (d6 == d3) {
+        easyCorpora += 1
+        assert(chunk == wide, s"corpus $i: all pairs at d<=3 but " +
+          s"outputs differ: chunk ${chunk -- wide} wide ${wide -- chunk}; " +
+          s"texts=$corpus")
+      }
+    }
+    // the identity branch must actually execute — a generator drift
+    // that stops producing easy corpora would hollow the property out
+    assert(easyCorpora >= 5, s"only $easyCorpora/25 easy corpora")
+  }
+
   test("dd_span and dd_cdc report every non-null doc exactly once") {
     val span = functions.Dedup.ddSpan(spark, dir)
       .select("doc_id").as[Long].collect().toSeq

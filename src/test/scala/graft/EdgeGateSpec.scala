@@ -30,18 +30,20 @@ class EdgeGateSpec extends AnyFunSuite {
   private val names = SparkEntry.queries.keySet -- tpchOnly
 
   private def gate(mode: String): Unit = {
-    // tooling absence (a stripped container) cancels VISIBLY rather
-    // than failing the suite for a non-engine reason; an actual
-    // divergence below still fails hard
+    // environment absence (a stripped container: no python toolchain,
+    // no testdata mount) cancels VISIBLY rather than failing the suite
+    // for a non-engine reason; an actual divergence below still fails
     assume(
       scala.util.Try(Seq("python3", "-c", "import duckdb, pyarrow").! == 0)
         .getOrElse(false),
       "python3+duckdb+pyarrow unavailable — edge gate needs the oracle toolchain")
+    assume(new java.io.File(SparkTestSession.sf).isDirectory,
+      s"${SparkTestSession.sf} missing — edge gate seeds from the sf corpus")
     val dir = java.nio.file.Files.createTempDirectory(s"edge-gate-$mode")
       .toAbsolutePath.toString
     val out = s"$dir.out"
     val genArgs = Seq("python3", s"$repo/tools/make_edge_corpus.py", dir,
-      "/root/testdata/sf0.001") ++ (if (mode == "empty") Seq("empty") else Nil)
+      SparkTestSession.sf) ++ (if (mode == "empty") Seq("empty") else Nil)
     assert(genArgs.! == 0, s"corpus generator failed: $genArgs")
     QuickVerify.run(spark, dir, out, names)
     val log = new StringBuilder

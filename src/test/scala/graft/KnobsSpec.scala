@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale knobs (Dedup's `confLong` block) are session-tunable via
+  * `spark.conf` — these pins prove each conf actually flips the route
+  * or cap it claims to govern, and that the DEFAULTS reproduce the
+  * compile-time behavior the driver gate was graded on. Route flips
+  * are asserted with `LogicalPlan.sameResult` against the
+  * parameter-forced plan (expression-id-normalized plan identity), so
+  * the pin survives refactors that keep the plan and breaks on any
+  * that silently change which plan a conf value selects. */
+class KnobsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf}
+  import graft.functions.Dedup
+
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit =
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+
+  test("graft.ngram.dfCapFactor scales the auto dfCap; explicit arg wins") {
+    val n = Tables.footerRowCount(spark, sf, "documents")
+    def cap(f: Long): Int =
+      math.max(64L, f * math.round(math.sqrt(n.toDouble))).toInt
+    assert(Dedup.resolveCap(spark, sf, -1) == cap(8))
+    withConf("graft.ngram.dfCapFactor" -> "100") {
+      assert(Dedup.resolveCap(spark, sf, -1) == cap(100))
+      assert(Dedup.resolveCap(spark, sf, 7) == 7)
+    }
+  }
+
+  test("graft.minhash.maxBucket caps every band bucket") {
+    // two identical docs + one unrelated: the default cap finds the
+    // pair; cap = 1 drops EVERY >= 2-member bucket, so no candidate
+    // (and hence no pair) survives — the conf demonstrably binds
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("knob-minhash").toString
+    Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("k"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.ddMinhashLsh(spark, d).count() == 1L)
+    withConf("graft.minhash.maxBucket" -> "1") {
+      assert(Dedup.ddMinhashLsh(spark, d).count() == 0L)
+    }
+  }
+
+  test("graft.simhash.wideSwitch flips the band construction") {
+    val wide = Dedup.ddSimhash(spark, sf, wideBands = true)
+      .queryExecution.optimizedPlan
+    val chunk = Dedup.ddSimhash(spark, sf, wideBands = false)
+      .queryExecution.optimizedPlan
+    assert(!wide.sameResult(chunk)) // the pins below can't trivially pass
+    assert(Dedup.ddSimhash(spark, sf).queryExecution.optimizedPlan
+      .sameResult(chunk), "default at gate SF must be the chunk plan")
+    withConf("graft.simhash.wideSwitch" -> "0") {
+      assert(Dedup.ddSimhash(spark, sf).queryExecution.optimizedPlan
+        .sameResult(wide), "wideSwitch=0 must route to the wide bands")
+    }
+  }
+
+  test("graft.embedCosine.exactMax flips the embed-cosine route") {
+    val bucketed = Dedup.ddEmbedCosine(spark, sf, exactMax = -1L)
+      .queryExecution.optimizedPlan
+    val exact = Dedup.ddEmbedCosine(spark, sf, exactMax = Long.MaxValue)
+      .queryExecution.optimizedPlan
+    assert(!bucketed.sameResult(exact))
+    assert(Dedup.ddEmbedCosine(spark, sf).queryExecution.optimizedPlan
+      .sameResult(exact), "default at gate SF must be the exact route")
+    withConf("graft.embedCosine.exactMax" -> "0") {
+      assert(Dedup.ddEmbedCosine(spark, sf).queryExecution.optimizedPlan
+        .sameResult(bucketed), "exactMax=0 must route to the bucketed plan")
+    }
+  }
+
+  test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
+    // forcing the bucketed route via conf exactMax=0 must leave the
+    // cell cap at its own default — a 300-member duplicate blob is far
+    // under 2^16, so no sharding: the plan equals the parameter-forced
+    // bucketed plan with an uncapped cell. Setting maxCell=32 then
+    // shards the blob and the top-40 still comes back all-duplicate
+    // (the FunctionsSpec mega-cell semantics, here driven by conf).
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val blob = (0 until 300).map(i => (i.toLong, Array.fill(32)(0.5f)))
+    val noise = (0 until 60).map(i =>
+      (300L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val d = java.nio.file.Files.createTempDirectory("knob-maxcell").toString
+    (blob ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    withConf("graft.embedCosine.exactMax" -> "0",
+        "graft.embedCosine.maxCell" -> "32") {
+      val rows = Dedup.ddEmbedCosine(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 40 && rows.forall(_._3 == 1.0),
+        s"conf-driven shard cap must keep scoring duplicate pairs: " +
+          s"${rows.take(5).toSeq}")
+    }
+  }
+}
