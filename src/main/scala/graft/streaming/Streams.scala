@@ -174,8 +174,14 @@ object Streams {
     * rows always carry ts ≥ watermark), so each invocation prunes them;
     * a whole bucket is evicted by an event-time timeout once the
     * watermark passes its newest member by the horizon. On an infinite
-    * crawl stream, state is bounded by the documents inside the
-    * horizon, never the whole history. Near-dup buckets stay tiny by
+    * crawl stream, state is bounded by the documents inside ~2× the
+    * horizon, never the whole history: the watermark DELAY is also set
+    * to the horizon (arrivals up to a horizon late must still pair),
+    * so the watermark trails max event time by one horizon and the
+    * prune/evict thresholds trail it by another — StreamSmoke measures
+    * the plateau arriving exactly 2·horizon behind the stream head,
+    * with per-batch wall tracking total state (the event-time-timeout
+    * scan is O(state keys)), which is why the bound matters. Near-dup buckets stay tiny by
     * construction (a hot bucket means a degenerate band hash), but a
     * defensive `maxBucketMembers` cap keeps the worst case graceful:
     * an arrival to a full bucket still pairs against the existing
