@@ -174,14 +174,16 @@ object Streams {
     * rows always carry ts ≥ watermark), so each invocation prunes them;
     * a whole bucket is evicted by an event-time timeout once the
     * watermark passes its newest member by the horizon. On an infinite
-    * crawl stream, state is bounded by the documents inside ~2× the
-    * horizon, never the whole history: the watermark DELAY is also set
-    * to the horizon (arrivals up to a horizon late must still pair),
-    * so the watermark trails max event time by one horizon and the
-    * prune/evict thresholds trail it by another — StreamSmoke measures
-    * the plateau arriving exactly 2·horizon behind the stream head,
-    * with per-batch wall tracking total state (the event-time-timeout
-    * scan is O(state keys)), which is why the bound matters. Near-dup buckets stay tiny by
+    * crawl stream, state is bounded by the documents inside
+    * horizon + lateness, never the whole history: the watermark DELAY
+    * (`latenessMinutes`, default = the horizon so any arrival order
+    * within the horizon pairs) trails max event time, and the
+    * prune/evict thresholds trail the watermark by the horizon —
+    * StreamSmoke measures the default's plateau arriving exactly
+    * 2·horizon behind the stream head, with per-batch wall tracking
+    * total state (the event-time-timeout scan is O(state keys)), which
+    * is why the bound matters; near-ordered streams set the tolerance
+    * low to shrink state toward 1× horizon. Near-dup buckets stay tiny by
     * construction (a hot bucket means a degenerate band hash), but a
     * defensive `maxBucketMembers` cap keeps the worst case graceful:
     * an arrival to a full bucket still pairs against the existing
@@ -205,14 +207,27 @@ object Streams {
   def nearDupStream(docs: DataFrame, corpus: DataFrame,
       horizonMinutes: Int = 1440,
       maxBucketMembers: Int = 1024,
-      drops: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      drops: Option[org.apache.spark.util.LongAccumulator] = None,
+      latenessMinutes: Int = -1): DataFrame = {
     import graft.functions.{Dedup, MinHashRow}
     val spark = docs.sparkSession
     import spark.implicits._
     val horizonMs = horizonMinutes * 60000L
     val streaming = docs.isStreaming
+    // `latenessMinutes` decouples the watermark DELAY (how far out of
+    // order a document may arrive and still pair — late-data tolerance)
+    // from the pairing horizon. Default: the horizon itself, the
+    // conservative choice (any arrival order within the horizon works;
+    // state bound ~2× horizon of documents — the StreamSmoke plateau).
+    // A crawl with near-ordered arrivals sets this low and the state
+    // bound drops toward 1× horizon + lateness; documents later than
+    // the tolerance are dropped by the watermark, the standard trade.
+    // Pruning below stays correct for ANY tolerance: it only relies on
+    // new arrivals carrying ts >= watermark.
+    val lateness =
+      if (latenessMinutes >= 0) latenessMinutes else horizonMinutes
     val src =
-      if (streaming) docs.withWatermark("ts", s"$horizonMinutes minutes")
+      if (streaming) docs.withWatermark("ts", s"$lateness minutes")
       else docs
     val sigs = src.select(col("doc_id"), col("ts"),
       MinHashRow.minhash32_row(Dedup.shingles(col("text"))).as("sig"))

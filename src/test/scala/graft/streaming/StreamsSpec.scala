@@ -344,6 +344,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latenessMinutes bounds out-of-order tolerance independently of the horizon") {
+    import StreamsSpec.Doc
+    // the state-bound knob (see nearDupStream scaladoc + StreamSmoke):
+    // the watermark delay defaults to the horizon (any arrival order
+    // within the horizon pairs → state ~2× horizon); a near-ordered
+    // stream sets latenessMinutes low to shrink state, trading away
+    // tolerance for very late rows. Pinned: with horizon 120 / lateness
+    // 10, in-order arrivals pair exactly as before, but a doc arriving
+    // 49 minutes behind the stream head is dropped by the watermark and
+    // pairs with NOTHING — even though its |Δts| to every member is
+    // inside the horizon. A control stream with the default tolerance
+    // on the SAME arrivals pairs it fully, so the lateness knob is the
+    // only thing separating the two outcomes.
+    val text = (0 until 30).map(i => s"late tok$i shared body").mkString(" ")
+    val arrivals = Seq(Doc(1, ts(1), text), Doc(2, ts(30), text),
+      Doc(3, ts(90), text), Doc(4, ts(31), text)) // 4 arrives after 3
+    val corpus = arrivals.toDF()
+    def run(name: String, lateness: Int): Set[(Long, Long)] = {
+      val mem = MemoryStream[Doc](spark)
+      val out = Streams.nearDupStream(mem.toDF(), corpus,
+        horizonMinutes = 120, latenessMinutes = lateness)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        arrivals.foreach { d => mem.addData(d); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // tight tolerance: after doc 3 the watermark sits at 90−10 = 80,
+    // so doc 4 (ts 31) is late → dropped pre-state
+    assert(run("near_dup_late", 10) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "late doc must be dropped under a tight tolerance")
+    // default tolerance (−1 → horizon): watermark after doc 3 is
+    // 90−120 < 0, doc 4 is accepted and pairs inside the horizon
+    assert(run("near_dup_late_ctl", -1) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      "default tolerance must accept the same arrival")
+  }
+
   test("a degenerate hot bucket is capped with a visible drop counter") {
     import StreamsSpec.Doc
     // 20 identical docs inside one horizon all hash to the same 16 band
