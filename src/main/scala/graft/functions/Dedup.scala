@@ -14,8 +14,13 @@ import graft.Tables.t
   * SimHash chunk) so the shuffle distributes on high-cardinality keys
   * and no O(n²) comparison ever materializes; exact similarity is only
   * computed on the candidate set. That is the shape that survives 100 TB
-  * — brute-force pairing appears nowhere except the tiny
-  * embedding-top-N demo (and there behind a broadcast).
+  * — the one deliberate exception is [[ddEmbedCosine]]'s exact route,
+  * which keeps the broadcast nested loop while the corpus is small
+  * enough that full pair scoring is cheaper than blocking (≤ 2¹⁶
+  * vectors) and switches to IVF-cell pairing above. Both corpus-size
+  * switches and the hot-key caps are session-tunable (see [[confLong]]),
+  * and the scale-side plans are driver-gated via the `dd_simhash_wide` /
+  * `dd_embed_cosine_bucketed` registrations.
   */
 object Dedup {
 
