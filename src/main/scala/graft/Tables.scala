@@ -24,6 +24,18 @@ object Tables {
     // reader rejects; read nanos as long and convert (data is generated
     // at microsecond precision, so the ns→µs truncation is lossless).
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (TypedImperativeAggregate paths: topk,
+      // minhash32, simhash64) falls back to SORT-based aggregation
+      // after only 128 distinct keys per task by default — built for
+      // giant collect_list buffers, but our buffers are bounded and
+      // tiny (k-element heaps, 32-slot sketches), so the fallback
+      // would re-introduce a per-task sort of exactly the wide streams
+      // those aggregates exist to collapse (the IVF assignment groups
+      // on vec_id: N distinct keys). 1M keys × ~100 B buffer caps the
+      // per-task map at ~100 MB; beyond that the sort fallback is the
+      // correct graceful degradation.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
 
   /** Exact row count from parquet footer metadata — a driver-side footer
     * read, no data scan. Used where a plan needs a corpus-size constant

@@ -510,7 +510,8 @@ object Dedup {
     *    is exact (DuckDB oracle-gated at the test SFs).
     *  - N > [[embedCosineExactMax]]: bucketed approximate route over
     *    the SAME IVF assignment ssIvfTopK uses (√N deterministic
-    *    centroids, min_by cosine assignment — Similarity.ivfParts):
+    *    centroids, hash-aggregated topk(1) cosine assignment —
+    *    Similarity.ivfParts):
     *    pairs are scored only within a cluster, one equi-join on the
     *    cluster id, global top-40 by TakeOrdered. Work drops from N²/2
     *    to ~N·√N/2 scored pairs distributed on the cluster key, at the

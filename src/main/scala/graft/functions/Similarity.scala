@@ -133,18 +133,40 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
     // Assign every vector to its nearest centroid (cosine, ties → min
-    // c_id). min_by with a (−cos, c_id) key is a hash aggregate with
-    // map-side partial combine — the N×√N scored stream collapses to N
-    // compact rows before the shuffle; the previous row_number window
-    // shuffled and SORTED all N×√N rows. first() is safe: v/nrm are
-    // constant within a vec_id group.
-    val assigned = spread(e).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"))
+    // c_id). Two load-bearing shape choices:
+    //
+    //  1. The scored stream entering the aggregate is SLIM — only
+    //     (vec_id, c_cos, c_id). The previous form carried v/nrm
+    //     through a first()/min_by aggregate, whose array/struct
+    //     buffers are hash-aggregation-ineligible: Spark planned a
+    //     SortAggregate that sorted all N×√N scored rows WITH the full
+    //     vector payload (~300 B/row — tens of GB at 10⁵ vectors,
+    //     unbounded at scale). v/nrm are recovered by a vec_id join
+    //     against the SAME round-robin exchange the scored side reads
+    //     (identical subtree → ReusedExchange, so the scan count is
+    //     unchanged); the extra N-row shuffle of the vectors is √N
+    //     times cheaper than sorting the scored stream.
+    //  2. The arg-max itself is [[TopKAgg]] with k = 1 — bit-identical
+    //     ordering to the min_by it replaces ((score DESC, id ASC) ⇔
+    //     min by (−cos, c_id)) — because a TypedImperativeAggregate
+    //     makes the whole aggregate ObjectHashAggregate-eligible:
+    //     map-side partial combine in a hash map, no sort anywhere
+    //     (fallback threshold raised in Tables.configure; past it the
+    //     fallback sorts the slim rows, still ~14× less data than the
+    //     old shape). The N×√N stream collapses to N 3-column rows
+    //     before the shuffle, as before.
+    val eSpread = spread(e)
+    val best = eSpread.join(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"),
+        col("c_id"))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min_by(col("c_id"),
-          struct(negate(col("c_cos")).as("nc"), col("c_id"))).as("cluster"))
+      .agg(TopKAgg.topk(col("c_cos"), col("c_id"), 1).as("tk"))
+      // get(), not element_at: ANSI throws on an empty array (a vec
+      // whose scores were all null), get() yields a null cluster —
+      // the min_by semantics
+      .select(col("vec_id"), get(col("tk"), lit(0)).getField("id").as("cluster"))
+    val assigned = eSpread.join(best, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
     (e, cents, assigned)
   }

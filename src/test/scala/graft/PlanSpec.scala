@@ -89,12 +89,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF centroid assignment is a partial-aggregating min_by, not a sort window") {
-    val plan = planOf(graft.functions.Similarity.ssIvfTopK(spark, sf))
-    assert(plan.contains("min_by"), plan.take(3000))
-    // partial aggregate collapses the N x sqrt(N) scored stream before
-    // the shuffle; the old row_number window sorted all of it
-    assert("partial_min_by".r.findAllIn(plan).nonEmpty, plan.take(3000))
+  test("IVF centroid assignment hash-aggregates a slim scored stream, no sort") {
+    // round 8: the assignment is topk(k=1) over (vec_id, c_cos, c_id)
+    // ONLY — the previous first(v)/min_by form had array/struct
+    // buffers, so Spark silently planned a SortAggregate that sorted
+    // the N×√N scored stream WITH the ~300-byte vector payload. Pins:
+    // the aggregate is ObjectHashAggregate (typed-imperative topk,
+    // partial combine before the exchange), no SortAggregate anywhere,
+    // and the vectors rejoin from the SAME round-robin exchange the
+    // scored side reads (ReusedExchange — scan count unchanged).
+    val df = graft.functions.Similarity.ssIvfTopK(spark, sf)
+    df.collect() // AQE: reuse nodes appear only in the final plan
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert("partial_topk".r.findAllIn(finalPlan).nonEmpty, finalPlan.take(3000))
+    assert(finalPlan.contains("ObjectHashAggregate"), finalPlan.take(3000))
+    assert(!finalPlan.contains("SortAggregate"), finalPlan.take(3000))
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
   }
 
   test("the composable pair core carries no gate ordering (no range exchange)") {
