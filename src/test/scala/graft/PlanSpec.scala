@@ -16,6 +16,46 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("no registered query plans a SortAggregate or CartesianProduct") {
+    // the round-8 IVF finding, generalized as a standing guard: an
+    // array/struct aggregation buffer silently disqualifies hash
+    // aggregation and Spark plans a SortAggregate — sorting the
+    // aggregate's ENTIRE input stream (the IVF assignment was sorting
+    // N×√N rows carrying full vector payloads while every correctness
+    // gate stayed green). With the typed-imperative paths
+    // ObjectHashAggregate-eligible and the fallback threshold raised
+    // (Tables.configure), no registry query should sort-aggregate; a
+    // CartesianProduct anywhere is likewise a plan bug (the
+    // broadcast-constant cross joins plan BroadcastNestedLoopJoin).
+    // Registry-wide by construction — a future registration with a
+    // sort-aggregating shape fails here without anyone remembering to
+    // add a pin.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = planOf(fn(spark, sf))
+        Seq("SortAggregate", "CartesianProduct")
+          .filter(plan.contains).map(s => s"$name: $s")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("unpartitioned windows appear only where the input is provably bounded") {
+    // an unpartitioned window funnels its ENTIRE input into one task
+    // (the WindowExec "No Partition Defined" warning) — fatal at scale
+    // on an unbounded stream. Registry-wide guard with an explicit
+    // allowlist: ta_vocab's global rank runs on the ≤ k rows surviving
+    // the TakeOrdered cut (pinned separately), which is the only
+    // acceptable shape. A future registration with a global window on
+    // raw data fails here.
+    val bounded = Set("ta_vocab", "ta_vocab_k10")
+    val unpart = "windowspecdefinition\\([^,)]*#\\d+L? (ASC|DESC)".r
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !bounded(name) &&
+          unpart.findFirstIn(planOf(fn(spark, sf))).isDefined => name
+    }
+    assert(offenders.isEmpty, s"unbounded global windows in: $offenders")
+  }
+
   test("q6: tight filters are pushed down to the parquet scan") {
     val plan = planOf(Relational.q6ForecastRevenue(spark, sf))
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
