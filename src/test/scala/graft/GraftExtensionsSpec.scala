@@ -31,6 +31,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       e2.getMessage.contains("DATATYPE_MISMATCH"), e2.getMessage)
   }
 
+  test("SQL sketch aggregates plan hash-based with many groups") {
+    // minhash32/simhash64 are TypedImperativeAggregates, which only
+    // hash-aggregate through ObjectHashAggregateExec — and that exec's
+    // DEFAULT config falls back to sort-based aggregation after 128
+    // distinct keys per task, silently re-sorting any many-group
+    // sketch aggregation (the same failure shape the IVF assignment
+    // had with min_by). Tables.configure raises the threshold; this
+    // pins the plan a library user's GROUP BY doc_id actually gets.
+    Graft.registerTables(spark, sf)
+    val df = spark.sql(
+      """SELECT doc_id, minhash32(sh) AS mh FROM (
+        |  SELECT doc_id, explode(shingles3(text)) AS sh FROM documents)
+        |GROUP BY doc_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt
+      >= (1 << 20))
+  }
+
   test("registered corpus views answer SQL end to end") {
     Graft.registerTables(spark, sf)
     val n = spark.sql(
