@@ -37,8 +37,10 @@ object Dedup {
     *    wide band tables replace the 16-bit chunk tables
     *  - `graft.embedCosine.exactMax` (2¹⁶): vectors above which the
     *    IVF-bucketed route replaces the exact broadcast loop
-    *  - `graft.embedCosine.maxCell` (2¹⁶): IVF-cell member cap above
-    *    which a cell is hash-split into shards (the mega-cell guard)
+    *  - `graft.embedCosine.maxCell` (4096): IVF-cell member cap above
+    *    which a cell is hash-split into shards (the mega-cell guard —
+    *    it bounds per-cell PAIRS at ~maxCell²/2 per shard, so it must
+    *    sit far below the exactMax broadcast ceiling)
     *
     * KnobsSpec pins that setting each conf actually flips the route /
     * cap; the driver gate runs at defaults, so its output is unchanged. */
@@ -259,14 +261,14 @@ object Dedup {
       .withColumn("union_n",
         (col("na") + col("nb") - col("shared")).cast("double"))
       .where(when(col("union_n") === 0, 0.0)
-        .otherwise(round(col("shared") / col("union_n"), 4)) >= 0.5)
+        .otherwise(FastRound.round4(col("shared") / col("union_n"))) >= 0.5)
       .select("doc_a", "doc_b")
     tier1
       .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", FastRound.round4(
         size(array_intersect(col("sa"), col("sb"))) /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+          size(array_union(col("sa"), col("sb"))).cast("double")))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -536,10 +538,17 @@ object Dedup {
   private[graft] def ddEmbedCosine(spark: SparkSession, dir: String,
       exactMax: Long, maxCell: Long = -1L): DataFrame = {
     // a separate knob, NOT exactMax: forcing the bucketed route with
-    // exactMax = 0 must not also zero the mega-cell shard cap
+    // exactMax = 0 must not also zero the mega-cell shard cap. 4096,
+    // not the 2¹⁶ broadcast ceiling it originally mirrored: a
+    // (cluster, shard) join partition does m²/2 pair scorings in ONE
+    // task, so the member cap is really a PAIR budget — 4096 caps a
+    // shard at ~8.4M pairs (~seconds), while a single 60k-member cell
+    // under the old default ran ~2·10⁹ scorings in one task (observed
+    // live at 500×: one task pinned for 40+ minutes on a corpus of
+    // verbatim-replicated vectors)
     val cellCap =
       if (maxCell > 0) maxCell
-      else confLong(spark, "graft.embedCosine.maxCell", 1L << 16)
+      else confLong(spark, "graft.embedCosine.maxCell", 4096L)
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
@@ -552,8 +561,8 @@ object Dedup {
       e.repartition(spark.sparkContext.defaultParallelism)
         .alias("a").join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
-            .as("cos"))
+          FastRound.round4(VectorOps.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(40)
     } else {
@@ -591,8 +600,8 @@ object Dedup {
           col("a.shard") === col("b.shard") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(VectorOps.dot(col("a.v"), col("b.v")) /
-            (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+          FastRound.round4(VectorOps.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(40)
     }

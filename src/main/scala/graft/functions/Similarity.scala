@@ -71,7 +71,8 @@ object Similarity {
     val cand = spread(e.where(col("vec_id") >= 5))
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+        FastRound.round4(dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
     rankTopK(scored, "cos")
   }
 
@@ -111,7 +112,8 @@ object Similarity {
     val scored = assigned.where(col("vec_id") >= 5)
       .join(broadcast(probes), "cluster")
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos"))
+        FastRound.round4(dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
     rankTopK(scored, "cos")
   }
 
@@ -196,7 +198,8 @@ object Similarity {
     val cand = spread(e.where(col("vec_id") >= 5))
     val scored = cand.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("q")) / (col("qqn") * col("qn")), 4).as("cos_q"))
+        FastRound.round4(dot(col("qv"), col("q")) / (col("qqn") * col("qn")))
+          .as("cos_q"))
     rankTopK(scored, "cos_q")
   }
 

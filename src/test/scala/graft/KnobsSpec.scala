@@ -77,11 +77,11 @@ class KnobsSpec extends AnyFunSuite {
 
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
-    // cell cap at its own default — a 300-member duplicate blob is far
-    // under 2^16, so no sharding: the plan equals the parameter-forced
-    // bucketed plan with an uncapped cell. Setting maxCell=32 then
-    // shards the blob and the top-40 still comes back all-duplicate
-    // (the FunctionsSpec mega-cell semantics, here driven by conf).
+    // cell cap at its own default — a 300-member duplicate blob is
+    // under the 4096 default, so no sharding: the plan equals the
+    // parameter-forced bucketed plan with an uncapped cell. Setting
+    // maxCell=32 then shards the blob and the top-40 still comes back
+    // all-duplicate (the FunctionsSpec mega-cell semantics, by conf).
     import spark.implicits._
     val rnd = new scala.util.Random(11)
     val blob = (0 until 300).map(i => (i.toLong, Array.fill(32)(0.5f)))
