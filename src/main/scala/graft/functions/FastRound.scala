@@ -88,4 +88,9 @@ object FastRound {
   /** `round(c, 4)` — the hot-path variant (cosine / jaccard scores). */
   def round4(c: Column): Column =
     GraftBridge.column(FastRound(GraftBridge.expression(c), 4))
+
+  /** `round(c)` — scale-0, for the per-element map stages (int8
+    * quantization, micro-unit centroids) that round N×dim values. */
+  def round0(c: Column): Column =
+    GraftBridge.column(FastRound(GraftBridge.expression(c), 0))
 }

@@ -190,8 +190,9 @@ object Similarity {
       // per-vector symmetric int8 quantization: q[i] = round(127·v[i]/amax)
       .withColumn("amax",
         greatest(array_max(col("v")), -array_min(col("v")), lit(1e-30)))
+      // FastRound: runs N×dim times on the scan — see its scaladoc
       .withColumn("q", transform(col("v"),
-        x => round(x * 127.0 / col("amax")).cast("double")))
+        x => FastRound.round0(x * 127.0 / col("amax")).cast("double")))
       .withColumn("qn", norm(col("q")))
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("qn").as("qqn"))
@@ -218,7 +219,7 @@ object Similarity {
       .select(col("label"), posexplode(asDouble(col("embedding")))
         .as(Seq("dim0", "v")))
       .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
-        round(col("v") * 1e6).cast("long").as("vmicro"))
+        FastRound.round0(col("v") * 1e6).cast("long").as("vmicro"))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum(col("vmicro")).as("sum_micro"))
       .withColumn("centroid_micro", expr(

@@ -42,6 +42,10 @@ class FastRoundSpec extends AnyFunSuite {
       (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 6))
     check(cos ++ jac ++ wide, 4)
     check((cos ++ wide).take(1000000), 2)
+    // scale 0 — the per-element map stages (quantization ±127ish,
+    // micro-unit centroids up to ~1e7)
+    check(cos.take(500000).map(_ * 127) ++
+      wide.take(500000).map(_ * 1e6), 0)
   }
 
   test("fast_round matches Spark round on the adversarial boundary grid") {
@@ -60,6 +64,7 @@ class FastRoundSpec extends AnyFunSuite {
       9.007199254740992e15, Double.MaxValue, Double.MinValue)
     check(halves ++ classics, 4)
     check(halves.map(_ * 100) ++ classics, 2)
+    check(halves.map(_ * 10000) ++ classics, 0)
   }
 
   test("fast_round passes NaN and infinities through like Spark") {
