@@ -18,8 +18,14 @@ object ScaleSmoke {
         val wanted = names.split(",").toSeq; n => wanted.exists(n.contains)
       case None => _ => true
     }
+    // 64 partitions, measured: raising to 500 at the 500× factor made
+    // dd_ngram WORSE (241 → 324 s) — on a 32-thread single box the
+    // extra sort runs and task overhead beat any spill relief, so the
+    // big-corpus ngram wall is volume-bound, not partition-count-bound.
+    // SCALE_SMOKE_PARTITIONS overrides for experiments.
+    val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
     val spark = Graft.sessionBuilder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
