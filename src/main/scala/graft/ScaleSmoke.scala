@@ -24,9 +24,34 @@ object ScaleSmoke {
     // big-corpus ngram wall is volume-bound, not partition-count-bound.
     // SCALE_SMOKE_PARTITIONS overrides for experiments.
     val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
-    val spark = Graft.sessionBuilder().master("local[32]")
+    // SCALE_SMOKE_MASTER=local-cluster[4,8,8192] runs REAL multi-
+    // executor shuffle on one box (4 worker JVMs × 8 cores, separate
+    // heaps, serialized exec-to-exec fetches) — the experiment that
+    // separates "single-box shuffle bandwidth" from "the operator's
+    // shuffle volume is inherently the wall" for the 500× heavy-family
+    // walls. Executors are fresh JVMs: hand them this process's full
+    // classpath (sbt fork → java.class.path is the real app classpath)
+    // and the JDK-17 module opens the driver got from build.sbt.
+    val master = sys.env.getOrElse("SCALE_SMOKE_MASTER", "local[32]")
+    val builder = Graft.sessionBuilder().master(master)
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", opens)
+    }
+    val spark = builder.getOrCreate()
+    println(s"master: $master, shuffle partitions: $parts")
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val big = "target/scale-smoke"

@@ -24,9 +24,24 @@ object StreamSmoke {
   def main(args: Array[String]): Unit = {
     val waves = args.headOption.map(_.toInt).getOrElse(20)
     val stepMin = args.lift(1).map(_.toInt).getOrElse(120)
-    val spark = Graft.sessionBuilder().master("local[32]")
+    // STREAM_SMOKE_STORE=rocksdb swaps the state store provider: at
+    // 100 TB streaming state lives in RocksDB (off-heap, spillable,
+    // changelog-checkpointed), not the default in-memory HDFS-backed
+    // map — the same pipeline must show the same plateau/eviction
+    // behavior on both, and the per-batch wall + state-bytes deltas
+    // are the comparison SURVEY §8.4.5 records. Note RocksDB's
+    // memoryUsedBytes reports block-cache+memtable usage (pinned
+    // native memory), not Java-heap row bytes — sizes are not
+    // directly comparable across providers, plateau SHAPE is.
+    val store = sys.env.getOrElse("STREAM_SMOKE_STORE", "hdfs")
+    val builder = Graft.sessionBuilder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (store == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    println(s"state store provider: $store")
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"

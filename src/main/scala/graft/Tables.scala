@@ -31,11 +31,20 @@ object Tables {
       // tiny (k-element heaps, 32-slot sketches), so the fallback
       // would re-introduce a per-task sort of exactly the wide streams
       // those aggregates exist to collapse (the IVF assignment groups
-      // on vec_id: N distinct keys). 1M keys × ~100 B buffer caps the
-      // per-task map at ~100 MB; beyond that the sort fallback is the
-      // correct graceful degradation.
+      // on vec_id: N distinct keys per task ≈ N/partitions — ~16k at
+      // the 500× smoke's 1M vectors / 64 partitions).
+      //
+      // USER-FACING: the setting is session-global, so it also governs
+      // a library user's own ObjectHashAggregate queries with UNBOUNDED
+      // buffers (collect_list / collect_set), where the 128 default is
+      // a memory guard. 256k keys × ~100 B bounded buffer ≈ ~26 MB per
+      // task for graft's aggregates — comfortable — while 256k large
+      // collect_list buffers before sort fallback is already a real
+      // ceiling; past it the sort fallback is the correct graceful
+      // degradation. Raise further only for sessions that run graft
+      // aggregates exclusively.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
+        (1 << 18).toString)
 
   /** Exact row count from parquet footer metadata — a driver-side footer
     * read, no data scan. Used where a plan needs a corpus-size constant

@@ -427,6 +427,17 @@ object Dedup {
       // pair instance, so the dedup shuffle only carries survivors
       .where(col("hamming") <= 6)
       .distinct()
+      // the gated dump re-certifies the cut in-query: `hamming` is
+      // emitted through assert_true, so a regression that drops or
+      // loosens the filter turns the driver's rows-only row into a
+      // crash (err != null) instead of silently shipping far pairs —
+      // the invariant is driver-observable, not only ScalaTest-pinned.
+      // Evaluated on output survivors only: free.
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(assert_true(col("hamming").between(0, 6),
+            concat(lit("simhash invariant violated: hamming "),
+              col("hamming"), lit(" outside [0,6]"))),
+          col("hamming")).as("hamming"))
       .orderBy("doc_a", "doc_b")
 
   private def simhashScaledBands(docs: DataFrame,
@@ -604,6 +615,20 @@ object Dedup {
             (col("a.nrm") * col("b.nrm"))).as("cos"))
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(40)
+        // rows-only gate hardening (as in ddSimhash): the dumped rows
+        // re-certify pair orientation and that every emitted score is a
+        // real cosine — |cos| ≤ 1 after round4 (zero norms are filtered,
+        // so no NaN/Inf can reach here) and vec_a < vec_b from the join.
+        // A regression in either crashes the driver dump visibly.
+        // Evaluated on the 40 surviving rows only: free.
+        .select(
+          coalesce(assert_true(col("vec_a") < col("vec_b"),
+              lit("embed invariant violated: vec_a >= vec_b")),
+            col("vec_a")).as("vec_a"),
+          col("vec_b"),
+          coalesce(assert_true(col("cos").between(-1d, 1d),
+              concat(lit("embed invariant violated: |cos| > 1: "), col("cos"))),
+            col("cos")).as("cos"))
     }
   }
 

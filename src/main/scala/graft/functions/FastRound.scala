@@ -41,6 +41,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FastRound(child: Expression, scale: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // Spark's round accepts any scale (negative rounds left of the
+  // point); this fast path only implements 0..9 (the POW table), so
+  // reject the rest at construction — planning time — instead of an
+  // ArrayIndexOutOfBoundsException mid-task.
+  require(0 <= scale && scale <= 9,
+    s"fast_round supports 0 <= scale <= 9, got $scale — use Spark's round() for other scales")
+
   override def inputTypes: Seq[GraftBridge.ADT] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fast_round"

@@ -46,9 +46,22 @@ case class TopKAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "topk"
 
-  /** (score DESC, id ASC): a beats b. */
-  @inline private def beats(as: Double, ai: Long, bs: Double, bi: Long): Boolean =
-    as > bs || (as == bs && ai < bi)
+  /** (score DESC, id ASC): a beats b. NaN-aware: a NaN score loses to
+    * any real score (NaN-vs-NaN ties break by id). The plain `as > bs`
+    * comparison is false in BOTH directions against NaN, so a NaN that
+    * reached the buffer first would block every later real entry and
+    * the result would depend on arrival order — every current call
+    * site filters zero norms upstream so NaN can't arrive, but the
+    * aggregate must not silently depend on that precondition.
+    * NaN-loses matches the `min_by` the topk(1) assignment replaced
+    * (Spark's total order puts NaN above every real, so min_by never
+    * picks it while real values exist). */
+  @inline private def beats(as: Double, ai: Long, bs: Double, bi: Long): Boolean = {
+    val an = java.lang.Double.isNaN(as)
+    val bn = java.lang.Double.isNaN(bs)
+    if (an || bn) (!an && bn) || (an && bn && ai < bi)
+    else as > bs || (as == bs && ai < bi)
+  }
 
   override def createAggregationBuffer(): Buf = new Buf(k + 1)
 

@@ -34,6 +34,40 @@ class ExpressionParitySpec extends AnyFunSuite {
     }
   }
 
+  test("topk is NaN-deterministic: a NaN score loses to any real score") {
+    // beats() was `as > bs` — false BOTH ways against NaN, so a NaN
+    // arriving first blocked every later real entry and the winner
+    // depended on arrival order. Drive the buffer directly with both
+    // orders and assert identical, NaN-last results.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKAgg(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 3)
+    val rows = Seq((Double.NaN, 10L), (0.5, 11L), (Double.NaN, 12L), (0.7, 13L))
+    def run(rs: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val buf = agg.createAggregationBuffer()
+      rs.foreach { case (s, i) => agg.update(buf, InternalRow(s, i)) }
+      buf.toSeq
+    }
+    val expect = Seq((0.7, 13L), (0.5, 11L), (Double.NaN, 10L))
+    Seq(rows, rows.reverse).foreach { rs =>
+      val got = run(rs)
+      assert(got.map(_._2) == expect.map(_._2), s"order ${rs.map(_._2)} -> $got")
+      assert(got.take(2) == expect.take(2) && got(2)._1.isNaN)
+    }
+    // merge path: NaN-holding partial vs real-holding partial, both ways
+    val (a, b) = (run(rows.take(2)), run(rows.drop(2)))
+    def mergeOf(x: Seq[(Double, Long)], y: Seq[(Double, Long)]) = {
+      val ba = agg.createAggregationBuffer(); ba ++= x
+      val bb = agg.createAggregationBuffer(); bb ++= y
+      agg.merge(ba, bb).toSeq
+    }
+    assert(mergeOf(a, b).map(_._2) == mergeOf(b, a).map(_._2))
+    assert(mergeOf(a, b).map(_._2) == expect.map(_._2))
+  }
+
   test("DotF64 equals aggregate(zip_with) on equal-length vectors (bit-exact)") {
     val cases: Seq[(Seq[Double], Seq[Double])] = Seq(
       (Nil, Nil), (Seq(1.5, -2.5), Seq(4.0, 8.0)),

@@ -82,4 +82,14 @@ class FastRoundSpec extends AnyFunSuite {
       .select(graft.functions.FastRound.round4(col("x"))).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("unsupported scales are rejected at construction, not mid-task") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Seq(-1, 10).foreach { s =>
+      val e = intercept[IllegalArgumentException] {
+        graft.functions.FastRound(Literal(1.5), s)
+      }
+      assert(e.getMessage.contains("fast_round"), e.getMessage)
+    }
+  }
 }

@@ -75,6 +75,21 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.ivf.nprobe widens or narrows the IVF probe list") {
+    import graft.functions.Similarity
+    val p4 = Similarity.ssIvfTopK(spark, sf, nprobe = 4)
+      .queryExecution.optimizedPlan
+    val p12 = Similarity.ssIvfTopK(spark, sf, nprobe = 12)
+      .queryExecution.optimizedPlan
+    assert(!p4.sameResult(p12)) // the pins below can't trivially pass
+    assert(Similarity.ssIvfTopK(spark, sf).queryExecution.optimizedPlan
+      .sameResult(p12), "default nprobe must be 12")
+    withConf("graft.ivf.nprobe" -> "4") {
+      assert(Similarity.ssIvfTopK(spark, sf).queryExecution.optimizedPlan
+        .sameResult(p4), "nprobe=4 via conf must select the k=4 probe plan")
+    }
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is

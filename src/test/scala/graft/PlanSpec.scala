@@ -47,11 +47,21 @@ class PlanSpec extends AnyFunSuite {
     // the TakeOrdered cut (pinned separately), which is the only
     // acceptable shape. A future registration with a global window on
     // raw data fails here.
+    // detection traverses the PHYSICAL plan for window nodes with an
+    // empty partitionSpec rather than regex-matching the formatted
+    // string: the old `windowspecdefinition(<attr> ASC…` pattern
+    // required a bare attribute as the first spec entry, so a global
+    // window ordered by a computed key (e.g. a double wrapped in
+    // knownfloatingpointnormalized(...)) slipped past exactly the
+    // guard built to catch it
+    import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
     val bounded = Set("ta_vocab", "ta_vocab_k10")
-    val unpart = "windowspecdefinition\\([^,)]*#\\d+L? (ASC|DESC)".r
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !bounded(name) &&
-          unpart.findFirstIn(planOf(fn(spark, sf))).isDefined => name
+          fn(spark, sf).queryExecution.sparkPlan.collect {
+            case w: WindowExecBase if w.partitionSpec.isEmpty => w.nodeName
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+          }.nonEmpty => name
     }
     assert(offenders.isEmpty, s"unbounded global windows in: $offenders")
   }
