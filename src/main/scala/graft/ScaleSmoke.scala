@@ -133,6 +133,14 @@ object ScaleSmoke {
     // candidates alongside the full operator, as for minhash below
     time("ng_candidates")(Dedup.ngramCandidates(spark, big).count())
     time("dd_ngram_jaccard")(Dedup.ddNgramJaccard(spark, big).count())
+    // tier-0 MinHash-prefix experiment (§8.4.7): survivor count = the
+    // discard ratio; the mh16 run is the full operator with the knob on
+    time("ng_mh16_surv")(Dedup.ngramTier0Survivors(spark, big).count())
+    time("dd_ngram_mh16") {
+      spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+      try Dedup.ddNgramJaccard(spark, big).count()
+      finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+    }
     // candidate count alongside wall-clock: the verify is candidate-
     // proportional, so wall growing faster than candidates would flag a
     // super-linear term hiding in the operator

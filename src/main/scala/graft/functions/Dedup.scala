@@ -41,6 +41,13 @@ object Dedup {
     *    which a cell is hash-split into shards (the mega-cell guard —
     *    it bounds per-cell PAIRS at ~maxCell²/2 per shard, so it must
     *    sit far below the exactMax broadcast ceiling)
+    *  - `graft.ngram.mhPrefixSlots` (0 = off): leading MinHash slots
+    *    carried as a slim tier-0 candidate filter in the ngram verify
+    *    (see [[mhPrefixFilter]]); `graft.ngram.mhPrefixMin` (2): slots
+    *    that must match to survive tier 0. OFF by default: the filter
+    *    is probabilistic (a j = 0.5 boundary pair is missed with
+    *    p ≈ 2.6·10⁻⁴ at 16/2), so the default keeps [[ddNgramJaccard]]
+    *    exact; the knob is the 100 TB escape hatch, measured §8.4.7.
     *
     * KnobsSpec pins that setting each conf actually flips the route /
     * cap; the driver gate runs at defaults, so its output is unchanged. */
@@ -127,7 +134,9 @@ object Dedup {
     * [[ddNgramJaccard]]. */
   def ddNgramJaccardPairs(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame = {
     val base = ngramBase(spark, dir)
-    exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base)
+    exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base,
+      mhPrefixSlots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt,
+      mhPrefixMin = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt)
   }
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
@@ -144,6 +153,17 @@ object Dedup {
   private[graft] def ngramCandidates(spark: SparkSession, dir: String,
       dfCap: Int = -1): DataFrame =
     ngramCandidatesFrom(ngramBase(spark, dir), resolveCap(spark, dir, dfCap))
+
+  /** Candidates surviving the tier-0 MinHash-prefix filter — factored
+    * out (like [[ngramCandidates]]) so ScaleSmoke can measure the
+    * tier-0 discard ratio directly: survivors/candidates is the factor
+    * by which the filter slims the array-carrying tier-1 shuffle. */
+  private[graft] def ngramTier0Survivors(spark: SparkSession, dir: String,
+      slots: Int = 16, minMatch: Int = 2): DataFrame = {
+    val base = ngramBase(spark, dir)
+    mhPrefixFilter(ngramCandidatesFrom(base, resolveCap(spark, dir, -1)),
+      base, slots, minMatch)
+  }
 
   private def ngramBase(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus pass for the whole operator: scan + ShingleArray,
@@ -243,13 +263,20 @@ object Dedup {
     *
     * @param cand candidate pairs (doc_a, doc_b)
     * @param docs (doc_id, shs) — each doc's distinct shingle array
+    * @param mhPrefixSlots leading MinHash slots for the optional tier-0
+    *   pre-filter (0 = off, the default — see [[mhPrefixFilter]])
+    * @param mhPrefixMin matching slots a pair needs to survive tier 0
     */
-  private[graft] def exactVerify(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def exactVerify(cand: DataFrame, docs: DataFrame,
+      mhPrefixSlots: Int = 0, mhPrefixMin: Int = 2): DataFrame = {
     val base = docs.select(col("doc_id"), col("shs"))
       .repartition(col("doc_id"))
+    val cand0 =
+      if (mhPrefixSlots <= 0) cand
+      else mhPrefixFilter(cand, base, mhPrefixSlots, mhPrefixMin)
     val hsh = base.select(col("doc_id"), size(col("shs")).as("n"),
       array_sort(transform(col("shs"), xxhash64(_))).as("hs"))
-    val tier1 = cand.select("doc_a", "doc_b")
+    val tier1 = cand0.select("doc_a", "doc_b")
       .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("na")), "doc_a")
       .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -271,6 +298,46 @@ object Dedup {
           size(array_union(col("sa"), col("sb"))).cast("double")))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Tier-0 MinHash-prefix candidate filter (OFF by default — see the
+    * `graft.ngram.mhPrefixSlots` knob).
+    *
+    * Motivation (SURVEY §8.4.7): at 500× the ngram verify's dominant
+    * shuffle is tier 1's doc_b join, where every one of ~53M candidate
+    * pairs carries doc_a's FULL sorted hash array (~5 KB for a
+    * 600-shingle doc) through the exchange. A `slots`-slot MinHash
+    * prefix is `8·slots` bytes — at 16 slots, ~37× slimmer — and
+    * P(slot match) = J(a, b) exactly (the MinHash property), so
+    * requiring ≥ `minMatch` of `slots` matching slots discards the
+    * low-Jaccard bulk of the candidate stream BEFORE any full array
+    * rides a shuffle; only survivors reach the two exact tiers.
+    *
+    * The filter is probabilistic, which is why the ngram operator keeps
+    * it off by default: with (16, 2) a boundary pair at exactly j = 0.5
+    * survives with p = 1 − BinomCDF(1; 16, 0.5) ≈ 0.99974, and the miss
+    * probability decays geometrically above the boundary (j = 0.7 →
+    * ~2·10⁻⁸); a j = 0.02 pair — the typical PPJoin false candidate,
+    * sharing one rare shingle of hundreds — survives with only ~5%.
+    * Fixed hash seeds ([[MinHashRow]]) make the outcome deterministic
+    * per corpus. The prefix frame hangs off the SAME doc_id exchange as
+    * every other verify branch (ReusedExchange — no extra corpus pass),
+    * and the doc-side cost is 16 of the 32 slot mins [[MinHashRow]]
+    * already computes map-only for the LSH family.
+    *
+    * NOT applied to the MinHash-LSH path: its candidates collide on a
+    * 2-slot band by construction, so a ≥ 2-match requirement is already
+    * implied and the extra joins would be pure overhead. */
+  private[graft] def mhPrefixFilter(cand: DataFrame, base: DataFrame,
+      slots: Int, minMatch: Int): DataFrame = {
+    val pf = base.select(col("doc_id"),
+      slice(MinHashRow.minhash32_row(col("shs")), 1, slots).as("mh"))
+    cand.select("doc_a", "doc_b")
+      .join(pf.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(pf.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .where(aggregate(zip_with(col("ma"), col("mb"),
+        (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _) >= minMatch)
+      .select("doc_a", "doc_b")
   }
 
   /** The 16×2 LSH band hashes of a 32-slot minhash signature — shared

@@ -90,6 +90,29 @@ class FunctionsSpec extends AnyFunSuite {
       "capping degenerate buckets must not lose verified pairs")
   }
 
+  test("mhPrefix tier-0 keeps high-jaccard candidates, discards disjoint ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // identical pair (1,2): all 16 slots match -> survives any threshold;
+    // disjoint pair (3,4): a slot matches only on an xxhash64 collision
+    // (p ~ 2^-64 per slot) -> discarded; near-dup pair (5,6) sharing
+    // most tokens: expected matches ~ j*16 >> 2 -> survives
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (5L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (6L, "alpha beta gamma delta epsilon zeta eta kappa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+    val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.mhPrefixFilter(cand, docs, slots = 16, minMatch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L), (5L, 6L)),
+      s"tier-0 must keep the near-dup candidates and drop the disjoint one: $kept")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val exact = Dedup.ddNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -90,6 +90,30 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.ngram.mhPrefixSlots inserts the tier-0 filter; pairs unchanged") {
+    val off = Dedup.ddNgramJaccard(spark, sf)
+    val offPlan = off.queryExecution.optimizedPlan
+    val offRows = off.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(offRows.nonEmpty, "gate corpus must have near-dup pairs to test")
+    withConf("graft.ngram.mhPrefixSlots" -> "16") {
+      val on = Dedup.ddNgramJaccard(spark, sf)
+      assert(!on.queryExecution.optimizedPlan.sameResult(offPlan),
+        "mhPrefixSlots=16 must insert the tier-0 joins into the plan")
+      // deterministic differential (fixed seeds): on this corpus the
+      // probabilistic filter must not cost a single true pair — every
+      // gate pair sits well above the j = 0.5 boundary where the miss
+      // probability is astronomically small
+      val onRows = on.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(onRows == offRows,
+        s"tier-0 changed the pair set: missing=${offRows -- onRows} " +
+          s"extra=${onRows -- offRows}")
+    }
+    assert(Dedup.ddNgramJaccard(spark, sf).queryExecution.optimizedPlan
+      .sameResult(offPlan), "default must stay tier-0-free (exact operator)")
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is
