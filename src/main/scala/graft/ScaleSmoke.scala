@@ -100,10 +100,11 @@ object ScaleSmoke {
     // events ×factor: new event ids and a DISJOINT user population per
     // copy (user count grows with the corpus — replicating onto the
     // same users would turn per-user windows into an artificial skew
-    // pathology instead of a bigger corpus). ts is kept as raw INT64
-    // nanos end-to-end (the driver's file is TIMESTAMP(NANOS), read as
-    // long under nanosAsLong; writing it back as a plain BIGINT keeps
-    // Tables.t's `ts div 1000` conversion working on the replica).
+    // pathology instead of a bigger corpus). ts passes through VERBATIM
+    // in whatever shape the driver's file loads as (raw INT64 under
+    // nanosAsLong for a nanos corpus, TIMESTAMP_NTZ for a micros one) —
+    // Tables.t's schema-adaptive loader normalizes the replica the same
+    // way it normalizes the source.
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nEv = stride(ev, "event_id")
     val nUsers = stride(ev, "user_id")

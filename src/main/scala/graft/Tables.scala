@@ -20,10 +20,17 @@ object Tables {
     * session construction (Verify/Bench mains, test sessions) so table
     * reads stay side-effect free. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as long and convert (data is generated
-    // at microsecond precision, so the ns→µs truncation is lossless).
+    // Some corpus generations write events.ts as parquet TIMESTAMP(NANOS),
+    // which Spark's vectorized reader rejects; read nanos as long so the
+    // loader can convert (`t` below adapts to whichever type actually
+    // loaded — the driver regenerates the corpus between rounds and has
+    // already flipped nanos↔micros once).
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Timestamps in the corpus are wall-clock-free instants; pin the
+      // session zone so TIMESTAMP_NTZ→TIMESTAMP normalization and
+      // date_trunc/unix_micros agree with the DuckDB oracle regardless
+      // of host zone.
+      .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate paths: topk,
       // minhash32, simhash64) falls back to SORT-based aggregation
       // after only 128 distinct keys per task by default — built for
@@ -68,11 +75,45 @@ object Tables {
     }.sum
   }
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
-    case "events" =>
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  /** Timestamp-bearing columns per table, and whether downstream queries
+    * require full normalization to TIMESTAMP (events.ts feeds unix_micros/
+    * window arithmetic built against TimestampType) or only healing of a
+    * nanos-written file (the TPC-H date columns are green as loaded). */
+  private val tsColumns: Map[String, Seq[(String, Boolean)]] = Map(
+    "events" -> Seq("ts" -> true),
+    "orders" -> Seq("o_orderdate" -> false),
+    "lineitem" -> Seq("l_shipdate" -> false))
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    tsColumns.getOrElse(name, Nil).foldLeft(raw) { case (df, (c, norm)) =>
+      df.withColumn(c, adaptTs(name, c, df.schema(c).dataType, norm))
+    }
+  }
+
+  /** Schema-adaptive timestamp loading. The driver regenerates the corpus
+    * between rounds and has shipped events.ts as both TIMESTAMP(NANOS) —
+    * which `nanosAsLong` above surfaces as LongType — and
+    * TIMESTAMP(MICROS), which Spark loads as TIMESTAMP_NTZ; hard-coding
+    * either assumption crashes the other at analysis time, so branch on
+    * what actually loaded. With `normalize` the column always comes out
+    * as TIMESTAMP (µs instants; session pinned UTC so the NTZ re-tag and
+    * the DuckDB oracle's naive read agree). */
+  private def adaptTs(
+      table: String, name: String,
+      loaded: org.apache.spark.sql.types.DataType,
+      normalize: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    loaded match {
+      // nanosAsLong fired on a nanos-annotated file: data is generated at
+      // µs precision, so the ns→µs truncation is lossless.
+      case LongType => timestamp_micros(expr(s"$name div 1000"))
+      case TimestampNTZType if normalize => col(name).cast(TimestampType)
+      case TimestampNTZType | TimestampType => col(name)
+      case other => throw new IllegalStateException(
+        s"$table.$name loaded as unexpected type $other — corpus schema " +
+          "drifted; extend Tables.adaptTs")
+    }
   }
 }

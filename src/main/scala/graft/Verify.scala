@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: surface corpus schema drift as ONE clear message instead
+    // of N per-query analysis failures (the driver regenerates testdata
+    // between rounds; round 9 lost 8 gate queries to a silent nanos→micros
+    // flip diagnosed one stack trace at a time).
+    Tables.names.foreach { n =>
+      try Tables.t(spark, sfDir, n).schema
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] SCHEMA DRIFT in table $n: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

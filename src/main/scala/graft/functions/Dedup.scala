@@ -488,7 +488,27 @@ object Dedup {
     confLong(spark, "graft.simhash.wideSwitch", 10L * 1000 * 1000)
 
   private[graft] def ddSimhash(spark: SparkSession, dir: String,
-      wideBands: Boolean): DataFrame =
+      wideBands: Boolean): DataFrame = {
+    // Wide-construction certificate (pigeonhole, driver-observable): a
+    // pair can only be emitted by the (8, 4) tables if some 4-subset of
+    // its 8-bit blocks is intact, i.e. ≥ 4 blocks of sig_xor are zero.
+    // A regression that silently swaps the scale path back to the (16, 1)
+    // chunk tables can emit a d ∈ [5,6] pair whose bits spread over 6
+    // blocks (one 16-bit chunk intact = only 2 intact 8-bit blocks), so
+    // the assert turns that plan swap into a driver-visible crash of the
+    // rows-only row rather than an unnoticed recall/candidate change.
+    // Evaluated on output survivors only: free.
+    val intactBlocks = (0 until 8)
+      .map(j => when(shiftright(col("sig_xor"), j * 8)
+        .bitwiseAND(lit(0xffL)) === 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val certified =
+      if (!wideBands) col("hamming")
+      else coalesce(assert_true(intactBlocks >= 4,
+          concat(lit("simhash wide-band invariant violated: only "),
+            intactBlocks, lit(" intact blocks for pair ("),
+            col("doc_a"), lit(","), col("doc_b"), lit(")"))),
+        col("hamming"))
     simhashJoin(simhashScaledBands(simhashDocs(spark, dir), wideBands))
       // filter BEFORE the distinct: the Hamming cut is computable per
       // pair instance, so the dedup shuffle only carries survivors
@@ -504,8 +524,9 @@ object Dedup {
         coalesce(assert_true(col("hamming").between(0, 6),
             concat(lit("simhash invariant violated: hamming "),
               col("hamming"), lit(" outside [0,6]"))),
-          col("hamming")).as("hamming"))
+          certified).as("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
 
   private def simhashScaledBands(docs: DataFrame,
       wideBands: Boolean): DataFrame =
@@ -559,15 +580,19 @@ object Dedup {
       posexplode(array(keys: _*)).as(Seq("tbl", "key")))
   }
 
-  /** Band-table self-join → (doc_a, doc_b, hamming) pair instances —
-    * the shape both constructions share; the Hamming cut downstream is
-    * exact, so band choice affects recall only, never precision. */
-  private def simhashJoin(bands: DataFrame): DataFrame =
+  /** Band-table self-join → (doc_a, doc_b, hamming, sig_xor) pair
+    * instances — the shape both constructions share; the Hamming cut
+    * downstream is exact, so band choice affects recall only, never
+    * precision. `sig_xor` (functionally determined by the pair) rides
+    * along so the wide dump can re-derive its pigeonhole certificate. */
+  private def simhashJoin(bands: DataFrame): DataFrame = {
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
     bands.alias("a").join(bands.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(xor).as("hamming"), xor.as("sig_xor"))
+  }
 
   /** Distinct candidate pairs BEFORE the Hamming verify — factored out
     * (like [[minhashCandidates]]) so the scale smoke can measure the

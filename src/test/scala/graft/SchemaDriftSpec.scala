@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus schema-drift smoke: the driver regenerates `/root/testdata`
+  * between rounds, and round 9 lost 8 gate queries + 9 tests to a silent
+  * events.ts TIMESTAMP(NANOS)→TIMESTAMP(MICROS) flip that surfaced as
+  * nine unrelated analysis errors. This suite pins the POST-LOAD schema
+  * of every table in every SF dir in one place, so the next regeneration
+  * fails here with `table.field: found X, expected Y` — and exercises
+  * every branch of `Tables.adaptTs` against synthetic files so the
+  * adaptive loader itself stays covered whichever way the corpus is
+  * currently written. */
+class SchemaDriftSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  // `TS` = normalized (must load as TIMESTAMP); `TS_ANY` = either
+  // timestamp flavor accepted (the TPC-H date columns are green as
+  // loaded and only healed if written as nanos).
+  private val TS = Set("TIMESTAMP")
+  private val TS_ANY = Set("TIMESTAMP", "TIMESTAMP_NTZ")
+  private def one(sql: String) = Set(sql)
+
+  private val expected: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> one("INT"), "r_name" -> one("STRING")),
+    "nation" -> Seq("n_nationkey" -> one("INT"), "n_name" -> one("STRING"),
+      "n_regionkey" -> one("INT")),
+    "customer" -> Seq("c_custkey" -> one("BIGINT"), "c_name" -> one("STRING"),
+      "c_nationkey" -> one("INT"), "c_acctbal" -> one("DOUBLE"),
+      "c_mktsegment" -> one("STRING")),
+    "supplier" -> Seq("s_suppkey" -> one("BIGINT"), "s_name" -> one("STRING"),
+      "s_nationkey" -> one("INT"), "s_acctbal" -> one("DOUBLE")),
+    "part" -> Seq("p_partkey" -> one("BIGINT"), "p_name" -> one("STRING"),
+      "p_brand" -> one("STRING"), "p_type" -> one("STRING"),
+      "p_size" -> one("INT"), "p_retailprice" -> one("DOUBLE")),
+    "orders" -> Seq("o_orderkey" -> one("BIGINT"), "o_custkey" -> one("BIGINT"),
+      "o_orderstatus" -> one("STRING"), "o_totalprice" -> one("DOUBLE"),
+      "o_orderdate" -> TS_ANY, "o_orderpriority" -> one("STRING")),
+    "lineitem" -> Seq("l_orderkey" -> one("BIGINT"), "l_partkey" -> one("BIGINT"),
+      "l_suppkey" -> one("BIGINT"), "l_linenumber" -> one("INT"),
+      "l_quantity" -> one("DOUBLE"), "l_extendedprice" -> one("DOUBLE"),
+      "l_discount" -> one("DOUBLE"), "l_tax" -> one("DOUBLE"),
+      "l_returnflag" -> one("STRING"), "l_linestatus" -> one("STRING"),
+      "l_shipdate" -> TS_ANY),
+    "events" -> Seq("event_id" -> one("BIGINT"), "ts" -> TS,
+      "user_id" -> one("BIGINT"), "event_type" -> one("STRING"),
+      "value" -> one("DOUBLE"), "props" -> one("STRING")),
+    "documents" -> Seq("doc_id" -> one("BIGINT"), "text" -> one("STRING"),
+      "lang" -> one("STRING"), "source" -> one("STRING"),
+      "n_chars" -> one("BIGINT")),
+    "embeddings" -> Seq("vec_id" -> one("BIGINT"),
+      "embedding" -> one("ARRAY<FLOAT>"), "label" -> one("INT")))
+
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(s => s"/root/testdata/$s")
+    .filter(d => new java.io.File(d).isDirectory)
+
+  test("every table in every SF dir loads with the pinned post-load schema") {
+    assume(sfDirs.nonEmpty, "/root/testdata missing — drift smoke needs the corpus")
+    val drift = for {
+      dir <- sfDirs
+      (table, fields) <- expected.toSeq
+      loaded = Tables.t(spark, dir, table).schema
+      problem <- {
+        val byName = loaded.fields.map(f => f.name -> f.dataType.sql).toMap
+        val missing = fields.collect {
+          case (n, _) if !byName.contains(n) => s"$dir $table.$n: MISSING"
+        }
+        val wrong = fields.collect {
+          case (n, ok) if byName.contains(n) && !ok(byName(n)) =>
+            s"$dir $table.$n: found ${byName(n)}, expected ${ok.mkString("|")}"
+        }
+        val extra = (byName.keySet -- fields.map(_._1)).toSeq.sorted
+          .map(n => s"$dir $table.$n: UNEXPECTED column (${byName(n)})")
+        missing ++ wrong ++ extra
+      }
+    } yield problem
+    assert(drift.isEmpty,
+      "corpus schema drifted — fix Tables.adaptTs / update this pin:\n" +
+        drift.mkString("\n"))
+  }
+
+  // ---- adaptive events loader: all branches on synthetic files ----
+
+  private def writeAndLoad(mk: org.apache.spark.sql.DataFrame): Long = {
+    val dir = java.nio.file.Files.createTempDirectory("drift-ts").toString
+    mk.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables.t(spark, dir, "events")
+    assert(out.schema("ts").dataType == TimestampType,
+      s"normalized events.ts should be TIMESTAMP, got ${out.schema("ts").dataType}")
+    out.select(unix_micros(col("ts"))).head.getLong(0)
+  }
+
+  private val micros = 123456789L // 1970-01-01T00:02:03.456789Z
+
+  test("events loader heals a nanos-written file (LongType branch)") {
+    // nanosAsLong surfaces TIMESTAMP(NANOS) as BIGINT; a plain BIGINT ts
+    // exercises the identical loader branch without needing a nanos writer
+    import spark.implicits._
+    val got = writeAndLoad(Seq((1L, micros * 1000L)).toDF("event_id", "ts"))
+    assert(got == micros)
+  }
+
+  test("events loader normalizes a micros-written file (TIMESTAMP_NTZ branch)") {
+    import spark.implicits._
+    val got = writeAndLoad(Seq(Tuple1(1L)).toDF("event_id")
+      .withColumn("ts", to_timestamp_ntz(lit("1970-01-01 00:02:03.456789"))))
+    assert(got == micros)
+  }
+
+  test("events loader passes through an instant-written file (TIMESTAMP branch)") {
+    import spark.implicits._
+    val got = writeAndLoad(Seq(Tuple1(1L)).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(micros))))
+    assert(got == micros)
+  }
+
+  test("events loader rejects an unrecognized ts type with a clear message") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift-ts").toString
+    Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.t(spark, dir, "events"))
+    assert(e.getMessage.contains("events.ts") && e.getMessage.contains("drifted"))
+  }
+}
