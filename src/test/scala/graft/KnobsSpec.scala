@@ -90,6 +90,26 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf nprobe default is corpus-size-aware above the gate floor") {
+    import graft.functions.Similarity
+    // gate SFs sit under the max(12, ceil(0.15*sqrt(N))) floor — pinned
+    // above as "default nprobe must be 12"; here a 40k-row corpus must
+    // push the DEFAULT to ceil(0.15*200) = 30 (the measured recall-0.83
+    // point at §8.4.6's hard case), while an explicit knob still wins
+    val d = java.nio.file.Files.createTempDirectory("knob-nprobe").toString
+    spark.range(40000).select(col("id").as("vec_id"),
+        array(lit(1f), pmod(col("id"), lit(7)).cast("float")).as("embedding"),
+        lit(0).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(Similarity.ivfNprobe(spark, d) == 30,
+      "40k vectors must default to nprobe = ceil(0.15*sqrt(40000)) = 30")
+    assert(Similarity.ivfNprobe(spark, sf) == 12,
+      "gate corpus must stay on the graded nprobe = 12 floor")
+    withConf("graft.ivf.nprobe" -> "7") {
+      assert(Similarity.ivfNprobe(spark, d) == 7, "explicit knob must win")
+    }
+  }
+
   test("graft.ngram.mhPrefixSlots inserts the tier-0 filter; pairs unchanged") {
     val off = Dedup.ddNgramJaccard(spark, sf)
     val offPlan = off.queryExecution.optimizedPlan
