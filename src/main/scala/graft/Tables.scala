@@ -31,6 +31,16 @@ object Tables {
       // date_trunc/unix_micros agree with the DuckDB oracle regardless
       // of host zone.
       .config("spark.sql.session.timeZone", "UTC")
+      // Read micros-annotated parquet (isAdjustedToUTC=false) directly
+      // as TIMESTAMP instead of TIMESTAMP_NTZ: the corpus's timestamps
+      // are instants, and loading them natively keeps `adaptTs` a
+      // pass-through — no cast above the scan, so a time-range
+      // predicate on ts reaches the parquet reader as a pushed filter
+      // (row-group/partition pruning on event time is THE scan cut at
+      // 100 TB; a cast-wrapped column disqualifies it). The NTZ branch
+      // in adaptTs stays as the fallback for sessions that re-enable
+      // inference.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // ObjectHashAggregate (TypedImperativeAggregate paths: topk,
       // minhash32, simhash64) falls back to SORT-based aggregation
       // after only 128 distinct keys per task by default — built for

@@ -104,10 +104,37 @@ class SchemaDriftSpec extends AnyFunSuite {
   }
 
   test("events loader normalizes a micros-written file (TIMESTAMP_NTZ branch)") {
+    // the graft session reads micros files natively as TIMESTAMP
+    // (inferTimestampNTZ off — see Tables.configure); force inference
+    // back on so the NTZ fallback branch stays exercised for sessions
+    // that run with Spark's default
     import spark.implicits._
-    val got = writeAndLoad(Seq(Tuple1(1L)).toDF("event_id")
-      .withColumn("ts", to_timestamp_ntz(lit("1970-01-01 00:02:03.456789"))))
-    assert(got == micros)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      val got = writeAndLoad(Seq(Tuple1(1L)).toDF("event_id")
+        .withColumn("ts", to_timestamp_ntz(lit("1970-01-01 00:02:03.456789"))))
+      assert(got == micros)
+    } finally
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  test("micros corpus loads ts natively: no cast above the scan, range filter pushes down") {
+    // the 100 TB contract behind inferTimestampNTZ=false: a time-range
+    // predicate on events.ts must reach the parquet reader as a pushed
+    // filter (row-group pruning on event time), which a cast-wrapped
+    // column disqualifies. Guarded on the corpus actually being
+    // micros-written (a future nanos regeneration re-enters the
+    // convert branch, where pushdown is structurally unavailable).
+    val dir = sfDirs.headOption.getOrElse(fail("no sf dirs"))
+    val df = Tables.t(spark, dir, "events")
+      .where(col("ts") >= lit("2024-01-01 00:00:00").cast(TimestampType))
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assume(scan.schema.exists(f => f.name == "ts" &&
+      f.dataType == TimestampType), "corpus not micros-written — skip")
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(ts"),
+      s"ts range filter not pushed: ${scan.metadata("PushedFilters")}")
   }
 
   test("events loader passes through an instant-written file (TIMESTAMP branch)") {
