@@ -165,6 +165,44 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup parity holds on the RocksDB state store") {
+    // the 100 TB deployment path (SURVEY §8.4.5 companion): streaming
+    // state lives in RocksDB (off-heap, spillable, changelog-
+    // checkpointed), not the default heap map. The smoke measured
+    // wave-for-wave behavioral equivalence; this pins it in-suite —
+    // the same corpus through the same pipeline on the swapped
+    // provider must emit exactly the batch operator's pair set. The
+    // provider class is captured at query START, so the conf swap is
+    // scoped to this query alone.
+    import StreamsSpec.Doc
+    val sf = SparkTestSession.sf
+    val corpus = graft.Tables.t(spark, sf, "documents")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(r.getLong(0) + 1), r.getString(1)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Doc](spark)
+      val out = Streams.nearDupStream(mem.toDF(), corpus)
+      val q = out.writeStream.format("memory").queryName("near_dup_rocks")
+        .outputMode("append").start()
+      try {
+        docs.grouped(math.max(docs.length / 3, 1)).foreach { batch =>
+          mem.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("near_dup_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val batch = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(batch.nonEmpty, "corpus should contain planted near-dups")
+        assert(streamed == batch,
+          s"rocksdb parity gap: missing=${batch -- streamed} extra=${streamed -- batch}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("null and empty texts flow through nearDupStream without pairing") {
     import StreamsSpec.Doc
     // null text → null signature → all such docs collide in one
