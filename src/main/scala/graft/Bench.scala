@@ -58,8 +58,28 @@ object Bench {
     def sentinel(): Double = {
       val t0 = System.nanoTime(); fixedAgg(); (System.nanoTime() - t0) / 1e9
     }
-    val passes = Vector.fill(3) { val s = sentinel(); (s, pass()) }
-    val sentinels = passes.map(_._1) :+ sentinel()
+    // ENFORCE the threshold, don't just document it: if every sentinel
+    // of an attempt reads hot, the attempt is discarded and re-run (up
+    // to 2 retries), and the best attempt (lowest sentinel-min) ships.
+    // The r9 artifact shipped with sentinel-min 0.381 — contended per
+    // the rule above, carrying a flat-looking 19.5 s that was really an
+    // improvement; this loop makes that artifact impossible short of a
+    // host that stays loaded through all three attempts (in which case
+    // the sentinel field still says so).
+    def attempt(): (Vector[(Double, Map[String, Option[Double]])], Vector[Double]) = {
+      val ps = Vector.fill(3) { val s = sentinel(); (s, pass()) }
+      (ps, ps.map(_._1) :+ sentinel())
+    }
+    var best = attempt()
+    var tries = 1
+    while (best._2.min > 0.35 && tries < 3) {
+      System.err.println(
+        f"[bench] attempt $tries ran contended (sentinel-min ${best._2.min}%.3f > 0.35) — retrying")
+      val a = attempt()
+      if (a._2.min < best._2.min) best = a
+      tries += 1
+    }
+    val (passes, sentinels) = best
     val results = SparkEntry.queries.keys.map { k =>
       k -> passes.flatMap(_._2(k)).minOption }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
