@@ -74,11 +74,15 @@ object Bench {
     var tries = 1
     while (best._2.min > 0.35 && tries < 3) {
       System.err.println(
-        f"[bench] attempt $tries ran contended (sentinel-min ${best._2.min}%.3f > 0.35) — retrying")
+        f"[bench] best of $tries attempt(s) still contended (sentinel-min ${best._2.min}%.3f > 0.35) — retrying")
       val a = attempt()
+      System.err.println(f"[bench] attempt ${tries + 1} sentinel-min ${a._2.min}%.3f")
       if (a._2.min < best._2.min) best = a
       tries += 1
     }
+    if (best._2.min > 0.35)
+      System.err.println(f"[bench] WARNING: all $tries attempts contended — " +
+        f"shipping best (sentinel-min ${best._2.min}%.3f); treat totals as hot")
     val (passes, sentinels) = best
     val results = SparkEntry.queries.keys.map { k =>
       k -> passes.flatMap(_._2(k)).minOption }.toMap

@@ -93,8 +93,13 @@ object Similarity {
     * construction); the ScalaTest spec asserts recall against
     * ssCosineTopK, and [[ssIvfRecall]] enforces the 0.8 floor inside
     * the driver gate itself. */
-  def ssIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    ssIvfTopK(spark, dir, ivfNprobe(spark, dir))
+  def ssIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    // one footer pass resolves BOTH the nprobe default and the centroid
+    // step — a many-file table's footer sweep is sequential driver-side
+    // metadata I/O, not something to do twice per query construction
+    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    ssIvfTopK(spark, dir, ivfNprobe(spark, nVecs), nVecs = nVecs)
+  }
 
   /** Probe width, CORPUS-SIZE-AWARE (measured, SURVEY §8.4.6): an
     * explicit `graft.ivf.nprobe` wins; otherwise max(12, ⌈0.15·√N⌉) —
@@ -111,14 +116,15 @@ object Similarity {
     * recall 1.0 at nprobe 6, 100×/200× rows) tune down via the knob.
     * N comes from footer metadata, not a count() pass. */
   private[graft] def ivfNprobe(spark: SparkSession, dir: String): Int =
-    spark.conf.getOption("graft.ivf.nprobe").map(_.toInt).getOrElse {
-      val n = graft.Tables.footerRowCount(spark, dir, "embeddings")
-      math.max(12, math.ceil(0.15 * math.sqrt(n.toDouble)).toInt)
-    }
+    ivfNprobe(spark, graft.Tables.footerRowCount(spark, dir, "embeddings"))
+
+  private[graft] def ivfNprobe(spark: SparkSession, nVecs: Long): Int =
+    spark.conf.getOption("graft.ivf.nprobe").map(_.toInt).getOrElse(
+      math.max(12, math.ceil(0.15 * math.sqrt(nVecs.toDouble)).toInt))
 
   private[graft] def ssIvfTopK(spark: SparkSession, dir: String,
-      nprobe: Int, maxQ: Long = 5L): DataFrame = {
-    val (e, cents, assigned) = ivfParts(spark, dir)
+      nprobe: Int, maxQ: Long = 5L, nVecs: Long = -1L): DataFrame = {
+    val (e, cents, assigned) = ivfParts(spark, dir, nVecs)
 
     // Each query probes its nprobe nearest centroids. Query vectors come
     // straight from `e` (they need no cluster assignment), so `assigned`
@@ -152,14 +158,18 @@ object Similarity {
     * route. Returned as a tuple so ssIvfTopK keeps referencing the
     * SAME `e`/`cents` instances for its probe side (identical subtrees
     * → one scan + one reused broadcast, pinned in PlanSpec). */
-  private[graft] def ivfParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ivfParts(spark: SparkSession, dir: String,
+      knownVecs: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
     val e = nonZero(t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v"))))
     // Corpus size from parquet footer metadata — the previous e.count()
     // here was a full extra pass over the table before the real job.
-    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    // Callers that already swept the footers pass the count through
+    // (ssIvfTopK's default path resolves nprobe from the same sweep).
+    val nVecs =
+      if (knownVecs >= 0) knownVecs
+      else graft.Tables.footerRowCount(spark, dir, "embeddings")
     val step = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
     val cents = e.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))

@@ -128,14 +128,35 @@ object Streams {
 
   /** Read the parquet events table as a bounded file STREAM (one file
     * per trigger) — how the same pipeline runs incrementally over an
-    * arriving directory at scale. */
-  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * arriving directory at scale.
+    *
+    * File streams require a user-supplied schema, so this path cannot
+    * inherit `Tables.adaptTs`'s load-time branching automatically;
+    * instead the ts shape is probed ONCE at stream construction with a
+    * driver-side batch schema read of the same directory (footer
+    * metadata only — no data scan) and the matching decode is baked
+    * into the stream. The previous hard-coded nanos shape ("ts BIGINT"
+    * + div 1000) silently reinterpreted a micros-written corpus as
+    * nanos — every event time ~1000× too small (1970-01-20) — the
+    * exact drift class round 9 hit in batch. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val loaded = graft.Tables.t(spark, dir.stripSuffix("/"), "events")
+    loaded.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/")
+      case _ => // nanos corpus: surfaced as BIGINT under nanosAsLong
+        spark.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
 
   // encoder classes must be public: Spark's generated safe projections
   // access them from synthesized code outside this object

@@ -62,19 +62,24 @@ class SchemaDriftSpec extends AnyFunSuite {
     val drift = for {
       dir <- sfDirs
       (table, fields) <- expected.toSeq
-      loaded = Tables.t(spark, dir, table).schema
-      problem <- {
-        val byName = loaded.fields.map(f => f.name -> f.dataType.sql).toMap
-        val missing = fields.collect {
-          case (n, _) if !byName.contains(n) => s"$dir $table.$n: MISSING"
-        }
-        val wrong = fields.collect {
-          case (n, ok) if byName.contains(n) && !ok(byName(n)) =>
-            s"$dir $table.$n: found ${byName(n)}, expected ${ok.mkString("|")}"
-        }
-        val extra = (byName.keySet -- fields.map(_._1)).toSeq.sorted
-          .map(n => s"$dir $table.$n: UNEXPECTED column (${byName(n)})")
-        missing ++ wrong ++ extra
+      // a table the adaptive loader itself rejects (or a missing ts
+      // column crashing the adapt step) must become ONE report line,
+      // not abort the sweep and mask every later table's drift
+      problem <- scala.util.Try(Tables.t(spark, dir, table).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$dir $table: LOAD FAILED — ${e.getMessage}")
+        case scala.util.Success(loaded) =>
+          val byName = loaded.fields.map(f => f.name -> f.dataType.sql).toMap
+          val missing = fields.collect {
+            case (n, _) if !byName.contains(n) => s"$dir $table.$n: MISSING"
+          }
+          val wrong = fields.collect {
+            case (n, ok) if byName.contains(n) && !ok(byName(n)) =>
+              s"$dir $table.$n: found ${byName(n)}, expected ${ok.mkString("|")}"
+          }
+          val extra = (byName.keySet -- fields.map(_._1)).toSeq.sorted
+            .map(n => s"$dir $table.$n: UNEXPECTED column (${byName(n)})")
+          missing ++ wrong ++ extra
       }
     } yield problem
     assert(drift.isEmpty,

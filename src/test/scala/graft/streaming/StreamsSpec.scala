@@ -130,77 +130,71 @@ class StreamsSpec extends AnyFunSuite {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val total = spark.table("file_hourly").agg(sum("n_events")).collect()(0).getLong(0)
-      val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
-      assert(total == expected)
+      // VALUE equality against the batch aggregate over Tables.t, not
+      // just a row-count total: the count is invariant under a wrong ts
+      // decode (the hard-coded nanos shape put every micros-corpus event
+      // in 1970 and this test still passed), while the hour buckets are
+      // exactly what a broken decode scrambles
+      val streamed = spark.table("file_hourly").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = Streams.hourlyByType(
+          graft.Tables.t(spark, "/root/testdata/sf0.001", "events"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
     } finally q.stop()
   }
 
-  test("streaming near-dup pairs equal the batch MinHash-LSH operator") {
+  /** The sf-corpus stream-vs-batch parity protocol, shared by the
+    * default-store and RocksDB pins: the corpus arrives in three waves
+    * (pairs split across batches must still surface — state carries the
+    * earlier bucket members; +1 on ts because an event AT the initial
+    * watermark (epoch 0) is dropped as late by the event-time-timeout
+    * operator, not a near-dup concern), and the streamed pair set must
+    * equal the batch MinHash-LSH operator's exactly. */
+  private def nearDupParity(queryName: String): Unit = {
     import StreamsSpec.Doc
     val sf = SparkTestSession.sf
     val corpus = graft.Tables.t(spark, sf, "documents")
-    // +1: an event AT the initial watermark (epoch 0) is dropped as
-    // late by the event-time-timeout operator, not a near-dup concern
     val docs = corpus.select("doc_id", "text").collect()
       .map(r => Doc(r.getLong(0), ts(r.getLong(0) + 1), r.getString(1)))
     val mem = MemoryStream[Doc](spark)
     val out = Streams.nearDupStream(mem.toDF(), corpus)
-    val q = out.writeStream.format("memory").queryName("near_dup")
+    val q = out.writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
     try {
-      // three arrival waves: pairs split across batches must still
-      // surface (state carries the earlier bucket members)
       docs.grouped(math.max(docs.length / 3, 1)).foreach { batch =>
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
       }
-      val streamed = spark.table("near_dup").collect()
+      val streamed = spark.table(queryName).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val batch = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(batch.nonEmpty, "corpus should contain planted near-dups")
       assert(streamed == batch,
-        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+        s"$queryName parity gap: missing=${batch -- streamed} extra=${streamed -- batch}")
     } finally q.stop()
+  }
+
+  test("streaming near-dup pairs equal the batch MinHash-LSH operator") {
+    nearDupParity("near_dup")
   }
 
   test("streaming near-dup parity holds on the RocksDB state store") {
     // the 100 TB deployment path (SURVEY §8.4.5 companion): streaming
     // state lives in RocksDB (off-heap, spillable, changelog-
     // checkpointed), not the default heap map. The smoke measured
-    // wave-for-wave behavioral equivalence; this pins it in-suite —
-    // the same corpus through the same pipeline on the swapped
-    // provider must emit exactly the batch operator's pair set. The
+    // wave-for-wave behavioral equivalence; this pins it in-suite. The
     // provider class is captured at query START, so the conf swap is
     // scoped to this query alone.
-    import StreamsSpec.Doc
-    val sf = SparkTestSession.sf
-    val corpus = graft.Tables.t(spark, sf, "documents")
-    val docs = corpus.select("doc_id", "text").collect()
-      .map(r => Doc(r.getLong(0), ts(r.getLong(0) + 1), r.getString(1)))
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val mem = MemoryStream[Doc](spark)
-      val out = Streams.nearDupStream(mem.toDF(), corpus)
-      val q = out.writeStream.format("memory").queryName("near_dup_rocks")
-        .outputMode("append").start()
-      try {
-        docs.grouped(math.max(docs.length / 3, 1)).foreach { batch =>
-          mem.addData(batch.toIndexedSeq)
-          q.processAllAvailable()
-        }
-        val streamed = spark.table("near_dup_rocks").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        val batch = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        assert(batch.nonEmpty, "corpus should contain planted near-dups")
-        assert(streamed == batch,
-          s"rocksdb parity gap: missing=${batch -- streamed} extra=${streamed -- batch}")
-      } finally q.stop()
-    } finally
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try nearDupParity("near_dup_rocks")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("null and empty texts flow through nearDupStream without pairing") {
