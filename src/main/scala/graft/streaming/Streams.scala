@@ -140,20 +140,26 @@ object Streams {
     * nanos — every event time ~1000× too small (1970-01-20) — the
     * exact drift class round 9 hit in batch. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val loaded = graft.Tables.t(spark, dir.stripSuffix("/"), "events")
-    loaded.schema("ts").dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        spark.readStream
-          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dir/")
+    // RAW loaded type, not Tables.t's (whose adaptTs already normalizes
+    // ts to TIMESTAMP for every corpus flavor — probing it chose the
+    // TIMESTAMP stream schema even for a nanos file, a read-time crash
+    // the nanos-branch spec caught)
+    val raw = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+    def read(tsSql: String) = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsSql, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => read("TIMESTAMP")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // a session with NTZ inference re-enabled (not the graft
+        // default) — stream in the inferred shape, then re-tag the
+        // instant exactly as Tables.adaptTs does
+        read("TIMESTAMP_NTZ").withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => // nanos corpus: surfaced as BIGINT under nanosAsLong
-        spark.readStream
-          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dir/")
+        read("BIGINT")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
   }

@@ -180,6 +180,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event file stream decodes a nanos-shaped corpus (BIGINT ts branch)") {
+    // the branch the micros corpus never exercises: a nanos-written
+    // events file surfaces ts as BIGINT under nanosAsLong, and the
+    // stream must bake in the div-1000 decode — the probe-at-
+    // construction counterpart of SchemaDriftSpec's LongType loader test
+    val micros = 123456789L // 1970-01-01T00:02:03.456789Z
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-nanos")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-scratch")
+    Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    // the stream lists FILES in dir (no recursion), and Tables.t's probe
+    // reads $dir/events.parquet — a single flat file serves both, like
+    // the driver's own layout
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(scratch).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part, dir.resolve("events.parquet"))
+    val stream = Streams.eventFileStream(spark, dir.toString)
+    val q = stream.writeStream.format("memory").queryName("file_nanos")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_nanos")
+        .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(micros), s"nanos-branch decode produced $got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup pairs equal the batch MinHash-LSH operator") {
     nearDupParity("near_dup")
   }
