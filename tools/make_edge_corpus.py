@@ -71,9 +71,13 @@ def write_edge_events(outdir: str, sfdir: str) -> None:
     json_extract_string errors — the oracles carry a json_valid guard),
     an empty JSON object (key missing from well-formed JSON: element_at
     on the empty extraction was an ANSI crash), and duplicate
-    timestamps within one user's session. Written via pyarrow because
-    the driver's events.parquet is TIMESTAMP(NANOS) and DuckDB's writer
-    downcasts to micros."""
+    timestamps within one user's session. Written via pyarrow with ts
+    DELIBERATELY as TIMESTAMP(NANOS): the driver's corpus has shipped
+    both nanos and micros (round 9's drift), and keeping the edge file
+    nanos means the oracle-checked edge gate exercises Tables.adaptTs's
+    LongType branch while the main sf corpus exercises the micros one —
+    both loader paths stay driver-gated whichever way the corpus is
+    currently written."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
