@@ -49,6 +49,11 @@ object ScaleSmoke {
       builder
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions", opens)
+        // the bracket's third number is worker CAPACITY; executors
+        // default to 1g and would measure spill, not shuffle (the r10
+        // protocol ran 7g explicitly — now the default)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SCALE_SMOKE_EXEC_MEM", "7g"))
     }
     val spark = builder.getOrCreate()
     println(s"master: $master, shuffle partitions: $parts")
@@ -149,7 +154,24 @@ object ScaleSmoke {
       Tables.t(spark, big, "documents")
         .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))).count())
     time("dd_minhash_lsh")(Dedup.ddMinhashLsh(spark, big).count())
-    time("dd_cluster")(Dedup.ddCluster(spark, big).count())
+    // count + an order-free label checksum in ONE aggregate (the unused
+    // cluster_size window and the orderBy prune out, so the wall stays
+    // comparable to the count-only rows of earlier rounds); the mh16
+    // twin then shows whether tier-0's §8.4.7 speedup transfers to the
+    // component DAG — with IDENTICAL components, not just a count
+    def clusterRun(): Long = {
+      val r = Dedup.ddCluster(spark, big)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("doc_id"), col("cluster")))).head
+      println(s"  dd_cluster label checksum=${r.getLong(1)}")
+      r.getLong(0)
+    }
+    time("dd_cluster")(clusterRun())
+    time("dd_cluster_mh16") {
+      spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+      try clusterRun()
+      finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+    }
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
     // both simhash band constructions, candidates + full operator: the
     // wide (8,4) plan must show the candidate set decoupling from the

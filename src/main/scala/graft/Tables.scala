@@ -85,6 +85,55 @@ object Tables {
     }.sum
   }
 
+  /** First *.parquet data file under `path` (itself a file, or a
+    * directory of part files), or None when nothing is there yet — a
+    * driver-side listing, no data scan. Shared by the footer probes
+    * below and the streaming source's shape probe. */
+  private[graft] def firstParquetFile(spark: SparkSession,
+      path: String): Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) None
+    else if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+    else Some(root)
+  }
+
+  /** The parquet logical-type TIME UNIT annotation of a top-level INT64
+    * column, straight from the file footer (None for a plain/unannotated
+    * INT64 or a missing column). This is the ground truth `adaptTs`'s
+    * LongType branch must consult: `nanosAsLong` surfaces ONLY
+    * TIMESTAMP(NANOS) as BIGINT, but a future corpus that writes plain
+    * INT64 micros would ALSO load as BIGINT, and decoding it as nanos
+    * silently shifts every instant 1000× — the same drift class round 9
+    * hit, invisible to type-level checks because the post-decode type is
+    * still TIMESTAMP. */
+  private[graft] def footerTsUnit(spark: SparkSession,
+      file: org.apache.hadoop.fs.Path, colName: String)
+      : Option[org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField(colName)) None
+      else schema.getType(Seq(colName): _*) match {
+        case p: org.apache.parquet.schema.PrimitiveType =>
+          p.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              Some(ts.getUnit)
+            case _ => None
+          }
+        case _ => None
+      }
+    } finally r.close()
+  }
+
   /** Timestamp-bearing columns per table, and whether downstream queries
     * require full normalization to TIMESTAMP (events.ts feeds unix_micros/
     * window arithmetic built against TimestampType) or only healing of a
@@ -97,7 +146,7 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     tsColumns.getOrElse(name, Nil).foldLeft(raw) { case (df, (c, norm)) =>
-      df.withColumn(c, adaptTs(name, c, df.schema(c).dataType, norm))
+      df.withColumn(c, adaptTs(spark, dir, name, c, df.schema(c).dataType, norm))
     }
   }
 
@@ -110,6 +159,7 @@ object Tables {
     * as TIMESTAMP (µs instants; session pinned UTC so the NTZ re-tag and
     * the DuckDB oracle's naive read agree). */
   private def adaptTs(
+      spark: SparkSession, dir: String,
       table: String, name: String,
       loaded: org.apache.spark.sql.types.DataType,
       normalize: Boolean): org.apache.spark.sql.Column = {
@@ -117,8 +167,24 @@ object Tables {
     import org.apache.spark.sql.types._
     loaded match {
       // nanosAsLong fired on a nanos-annotated file: data is generated at
-      // µs precision, so the ns→µs truncation is lossless.
-      case LongType => timestamp_micros(expr(s"$name div 1000"))
+      // µs precision, so the ns→µs truncation is lossless. The footer
+      // probe (a driver-side metadata read, once per load) guards the
+      // div-1000: a regenerated corpus writing PLAIN INT64 (micros, no
+      // logical annotation) also loads as BIGINT, and decoding it as
+      // nanos would shift every instant 1000× with the post-load type
+      // still TIMESTAMP — undetectable by SchemaDriftSpec's type pins.
+      case LongType =>
+        val unit = firstParquetFile(spark, s"$dir/$table.parquet")
+          .flatMap(f => footerTsUnit(spark, f, name))
+        if (!unit.contains(
+            org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS))
+          throw new IllegalStateException(
+            s"$table.$name loaded as BIGINT but the parquet footer says " +
+              s"logical type ${unit.map(_.toString).getOrElse("<none>")}, " +
+              "not TIMESTAMP(NANOS) — corpus schema drifted (a plain-INT64 " +
+              "column decoded as nanos would be silently 1000x-shifted); " +
+              "extend Tables.adaptTs")
+        timestamp_micros(expr(s"$name div 1000"))
       case TimestampNTZType if normalize => col(name).cast(TimestampType)
       case TimestampNTZType | TimestampType => col(name)
       // non-normalized columns tolerate other loadable date/time shapes

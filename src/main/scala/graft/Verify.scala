@@ -18,17 +18,24 @@ object Verify {
     // Preflight: surface corpus schema drift as ONE clear message instead
     // of N per-query analysis failures (the driver regenerates testdata
     // between rounds; round 9 lost 8 gate queries to a silent nanos→micros
-    // flip diagnosed one stack trace at a time).
-    Tables.names.foreach { n =>
-      try Tables.t(spark, sfDir, n).schema
-      catch { case e: Throwable =>
+    // flip diagnosed one stack trace at a time). NonFatal only: an OOM or
+    // linkage error here means the JVM is dying, not that a table drifted.
+    import scala.util.control.NonFatal
+    val drifted = Tables.names.flatMap { n =>
+      try { Tables.t(spark, sfDir, n).schema; None }
+      catch { case NonFatal(e) =>
         System.err.println(s"[verify] SCHEMA DRIFT in table $n: ${e.getMessage}")
+        Some(n)
       }
     }
+    if (drifted.nonEmpty)
+      System.err.println(s"[verify] preflight failed for table(s) " +
+        s"${drifted.mkString(", ")} — per-query failures below that " +
+        "mention these tables are the SAME drift, not new bugs")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

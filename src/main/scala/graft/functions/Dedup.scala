@@ -503,10 +503,22 @@ object Dedup {
     // sig_xor's registers, and the dedup shuffle stays at the original
     // 3 columns — carrying sig_xor through the distinct instead measured
     // +0.3 s on the sf0.1 bench for zero extra guarantee.
-    val intactBlocks = (0 until 8)
-      .map(j => when(shiftright(col("sig_xor"), j * 8)
-        .bitwiseAND(lit(0xffL)) === 0, 1).otherwise(0))
-      .reduce(_ + _)
+    // SWAR zero-byte count over the low 7 bytes in 6 bitwise ops + one
+    // bit_count (vs the previous 8-way shift/mask/compare reduce, ~4×
+    // the codegen ops on the hot pair-instance stream): for byte b,
+    // (b & 0x7F) + 0x7F carries into bit 7 iff the low 7 bits are
+    // non-zero, OR b covers bit 7 itself, so after the OR bit 7 is set
+    // iff b ≠ 0 — invert and mask the marker bits. Per-byte sums are
+    // ≤ 0xFE with a zeroed top byte, so no cross-byte carries and no
+    // ANSI overflow. The top byte can't join the trick (its marker
+    // would need bit 63 arithmetic that overflows under ANSI) — one
+    // explicit compare covers it.
+    val low7 = lit(0x007f7f7f7f7f7f7fL)
+    val intactBlocks = bit_count(bitwise_not(
+        (col("sig_xor").bitwiseAND(low7) + low7)
+          .bitwiseOR(col("sig_xor")).bitwiseOR(low7))
+        .bitwiseAND(lit(0x0080808080808080L))) +
+      when(shiftrightunsigned(col("sig_xor"), 56) === 0, 1).otherwise(0)
     val certified =
       if (!wideBands) col("hamming")
       else coalesce(assert_true(intactBlocks >= 4,

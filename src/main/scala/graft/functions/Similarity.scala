@@ -237,15 +237,29 @@ object Similarity {
     val perQ = nEx.join(ov, Seq("q_id"), "left")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    // The aggregate hides the tail: §8.4.6's own measurement has a
+    // per-query recall of 0.6 while the aggregate holds 0.86+, so the
+    // dump carries the DISTRIBUTION too — min and p10 of per-query
+    // recall ride every row (same broadcast 1-row cross join; exact
+    // percentile, the query set is ≤ a handful of rows). The driver
+    // artifact then records per-query degradation, not just the mean;
+    // KnobsSpec pins the gate-SF floor so a silent per-query collapse
+    // becomes suite-visible. The hard ASSERT stays on the aggregate
+    // only — per-query recall at k = 10 is 10-sample noisy (nprobe 12
+    // legitimately measures 0.6 on one gate query).
+    val recall = col("n_overlap").cast("double") / col("n_exact")
     val tot = perQ.agg(sum("n_overlap").as("tot_ov"),
-      sum("n_exact").as("tot_ex"))
+      sum("n_exact").as("tot_ex"),
+      round(min(recall), 4).as("min_recall"),
+      round(percentile(recall, lit(0.1)), 4).as("p10_recall"))
     perQ.crossJoin(broadcast(tot))
       .select(col("q_id"), col("n_exact"),
         coalesce(
           assert_true(col("tot_ov") * 10 >= col("tot_ex") * 8,
             concat(lit("ivf aggregate recall < 0.8: "), col("tot_ov"),
               lit("/"), col("tot_ex"))),
-          col("n_overlap")).as("n_overlap"))
+          col("n_overlap")).as("n_overlap"),
+        col("min_recall"), col("p10_recall"))
       .orderBy("q_id")
   }
 

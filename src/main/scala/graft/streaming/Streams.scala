@@ -140,27 +140,64 @@ object Streams {
     * nanos — every event time ~1000× too small (1970-01-20) — the
     * exact drift class round 9 hit in batch. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = dir.stripSuffix("/")
+    // SINGLE-SHAPE-PER-DIRECTORY CONTRACT: a file stream needs ONE
+    // user-supplied schema, so every file arriving in $dir/ must carry
+    // the same ts shape — the probe inspects the first listed file (the
+    // same listing the stream will read, not a hard-coded name) and
+    // bakes its decode into the stream; a directory mixing nanos- and
+    // micros-written files is unservable by any single file stream and
+    // would decode the minority shape wrongly. A genuinely-arriving
+    // directory that is still EMPTY at start() gets the session-default
+    // shape (TIMESTAMP — Tables.configure loads micros instants
+    // natively), matching what the driver's generator currently writes.
     // RAW loaded type, not Tables.t's (whose adaptTs already normalizes
     // ts to TIMESTAMP for every corpus flavor — probing it chose the
     // TIMESTAMP stream schema even for a nanos file, a read-time crash
     // the nanos-branch spec caught)
-    val raw = spark.read.parquet(s"${dir.stripSuffix("/")}/events.parquet")
+    val probe = graft.Tables.firstParquetFile(spark, d)
+    val rawTs: DataType = probe match {
+      case Some(f) => spark.read.parquet(f.toString).schema("ts").dataType
+      case None => TimestampType
+    }
     def read(tsSql: String) = spark.readStream
       .schema(s"event_id BIGINT, ts $tsSql, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.TimestampType => read("TIMESTAMP")
-      case org.apache.spark.sql.types.TimestampNTZType =>
+    rawTs match {
+      case TimestampType => read("TIMESTAMP")
+      case TimestampNTZType =>
         // a session with NTZ inference re-enabled (not the graft
         // default) — stream in the inferred shape, then re-tag the
         // instant exactly as Tables.adaptTs does
         read("TIMESTAMP_NTZ").withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => // nanos corpus: surfaced as BIGINT under nanosAsLong
+          col("ts").cast(TimestampType))
+      case LongType =>
+        // nanos corpus surfaced as BIGINT under nanosAsLong — but ONLY
+        // if the footer really says TIMESTAMP(NANOS): a plain-INT64
+        // (unannotated micros) column also loads as BIGINT, and the
+        // div-1000 would silently shift it 1000× (Tables.adaptTs's
+        // guard, mirrored here)
+        val unit = probe.flatMap(f => graft.Tables.footerTsUnit(spark, f, "ts"))
+        if (!unit.contains(
+            org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS))
+          throw new IllegalStateException(
+            "events stream ts loaded as BIGINT but the parquet footer says " +
+              s"logical type ${unit.map(_.toString).getOrElse("<none>")}, " +
+              "not TIMESTAMP(NANOS) — corpus schema drifted; extend " +
+              "Streams.eventFileStream (mirrors Tables.adaptTs)")
         read("BIGINT")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        // STRING/DATE/INT32… — fail fast with the batch loader's clear
+        // drift message instead of streaming nulls or a read-time
+        // schema-mismatch error (the old `case _` decoded these as nanos)
+        throw new IllegalStateException(
+          s"events stream ts loaded as unexpected type $other — corpus " +
+            "schema drifted; extend Streams.eventFileStream (mirrors " +
+            "Tables.adaptTs)")
     }
   }
 

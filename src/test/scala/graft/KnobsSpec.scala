@@ -110,6 +110,36 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("ss_ivf_recall emits the per-query recall distribution; gate floor holds") {
+    import graft.functions.Similarity
+    def dist(dir: String): (Seq[Double], Double, Double) = {
+      val rows = Similarity.ssIvfRecall(spark, dir).collect()
+      assert(rows.nonEmpty)
+      val perQ = rows.map(r => r.getLong(2).toDouble / r.getLong(1)).toSeq
+      // the distribution columns ride EVERY row (broadcast 1-row join)
+      assert(rows.map(_.getDouble(3)).distinct.length == 1)
+      assert(rows.map(_.getDouble(4)).distinct.length == 1)
+      (perQ, rows.head.getDouble(3), rows.head.getDouble(4))
+    }
+    // both SFs: min_recall must equal the observed per-query minimum
+    // and order min <= p10 (sf0.001's IVF is ALREADY approximate — one
+    // query measures 0.5 while the aggregate holds ≥ 0.8, exactly the
+    // tail the distribution columns exist to expose)
+    var minGate = 1.0
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val (perQ, minR, p10) = dist(d)
+      assert(math.abs(minR - perQ.min) <= 1e-4 + 1e-9,
+        s"$d: min_recall $minR must match the per-query minimum ${perQ.min}")
+      assert(minR <= p10 + 1e-9, s"$d: distribution order violated: $minR > $p10")
+      minGate = minR
+    }
+    // the driver's gate SF additionally pins the §8.4.6-recorded floor:
+    // per-query recall dipping below 0.6 is now suite-visible, not just
+    // a number in the dump
+    assert(minGate >= 0.6,
+      s"gate-SF per-query recall floor degraded below the recorded 0.6: $minGate")
+  }
+
   test("graft.ngram.mhPrefixSlots inserts the tier-0 filter; pairs unchanged") {
     val off = Dedup.ddNgramJaccard(spark, sf)
     val offPlan = off.queryExecution.optimizedPlan

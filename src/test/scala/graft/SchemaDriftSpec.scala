@@ -101,11 +101,30 @@ class SchemaDriftSpec extends AnyFunSuite {
   private val micros = 123456789L // 1970-01-01T00:02:03.456789Z
 
   test("events loader heals a nanos-written file (LongType branch)") {
-    // nanosAsLong surfaces TIMESTAMP(NANOS) as BIGINT; a plain BIGINT ts
-    // exercises the identical loader branch without needing a nanos writer
+    // a REAL TIMESTAMP(NANOS)-annotated file (NanosParquet — Spark can't
+    // write one; the driver's pyarrow generator can): nanosAsLong
+    // surfaces it as BIGINT and the loader must divide to µs — and the
+    // footer guard must let it through, because the annotation is there
+    val dir = java.nio.file.Files.createTempDirectory("drift-ts").toString
+    NanosParquet.writeEvents(s"$dir/events.parquet",
+      Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}")))
+    val out = Tables.t(spark, dir, "events")
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+  }
+
+  test("events loader rejects a plain-INT64 ts (no logical annotation)") {
+    // the 1000×-shift drift class the footer guard exists for: a
+    // regenerated corpus writing unannotated INT64 (micros, say) ALSO
+    // loads as BIGINT, and decoding it as nanos would silently shift
+    // every instant — the guard must throw the drift message instead
     import spark.implicits._
-    val got = writeAndLoad(Seq((1L, micros * 1000L)).toDF("event_id", "ts"))
-    assert(got == micros)
+    val dir = java.nio.file.Files.createTempDirectory("drift-ts").toString
+    Seq((1L, micros)).toDF("event_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.t(spark, dir, "events"))
+    assert(e.getMessage.contains("NANOS") && e.getMessage.contains("drifted"),
+      e.getMessage)
   }
 
   test("events loader normalizes a micros-written file (TIMESTAMP_NTZ branch)") {

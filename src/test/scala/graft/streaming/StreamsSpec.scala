@@ -187,17 +187,11 @@ class StreamsSpec extends AnyFunSuite {
     // construction counterpart of SchemaDriftSpec's LongType loader test
     val micros = 123456789L // 1970-01-01T00:02:03.456789Z
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-nanos")
-    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-scratch")
-    Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    // the stream lists FILES in dir (no recursion), and Tables.t's probe
-    // reads $dir/events.parquet — a single flat file serves both, like
-    // the driver's own layout
-    import scala.jdk.CollectionConverters._
-    val part = java.nio.file.Files.list(scratch).iterator().asScala
-      .find(_.toString.endsWith(".parquet")).get
-    java.nio.file.Files.copy(part, dir.resolve("events.parquet"))
+    // a REAL TIMESTAMP(NANOS)-annotated file (graft.NanosParquet): the
+    // probe's footer guard rejects unannotated BIGINT as drift, so the
+    // fixture must carry the same annotation the driver's nanos corpus did
+    graft.NanosParquet.writeEvents(dir.resolve("events.parquet").toString,
+      Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}")))
     val stream = Streams.eventFileStream(spark, dir.toString)
     val q = stream.writeStream.format("memory").queryName("file_nanos")
       .outputMode("append").start()
@@ -207,6 +201,110 @@ class StreamsSpec extends AnyFunSuite {
         .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
       assert(got == Seq(micros), s"nanos-branch decode produced $got")
     } finally q.stop()
+  }
+
+  /** Restart-recovery protocol, shared by both state-store pins: the
+    * corpus streams to a PARQUET sink (exactly-once file sink — the
+    * production shape; the memory sink refuses checkpoint recovery in
+    * append mode) under a real `checkpointLocation`. The query is
+    * stopped cold after two committed waves — `flatMapGroupsWithState`
+    * bucket state populated — the remaining documents land while it is
+    * DOWN, and a restarted query must resume from the checkpointed
+    * offsets + state store and emit the rest. The stop boundary is
+    * CHOSEN so a known near-dup pair straddles it: its first member
+    * lives only in recovered state, so the pair surfacing at all proves
+    * the state store round-tripped the checkpoint.
+    *
+    * Asserted: (1) the recovered pair set equals the batch operator's
+    * (no loss); (2) the straddling pair is present (state genuinely
+    * recovered, not re-derived); (3) the recovered row MULTISET equals
+    * an uninterrupted control run's on the same waves (no
+    * replay-duplication either — per-band at-least-once emission is
+    * deterministic on identical data, so any checkpoint replay dupe
+    * would show).
+    *
+    * State-schema note (the operational gotcha): the checkpoint pins
+    * the `BucketState` encoder schema — Spark validates state-schema
+    * compatibility on restart, so changing its fields (adding, say, a
+    * per-member payload) breaks resume of live checkpoints; evolving
+    * the bucket layout needs a new checkpoint (fresh deployment), not
+    * an in-place upgrade. */
+  private def nearDupRestartRecovery(tag: String): Unit = {
+    import StreamsSpec.Doc
+    val sf = SparkTestSession.sf
+    val corpus = graft.Tables.t(spark, sf, "documents")
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), ts(r.getLong(0) + 1), r.getString(1)))
+      .sortBy(_.doc_id)
+    val batch = graft.functions.Dedup.ddMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "corpus should contain planted near-dups")
+    val pos = docs.iterator.map(_.doc_id).zipWithIndex.toMap
+    val straddle = batch.maxBy(p => math.abs(pos(p._2) - pos(p._1)))
+    assert(math.abs(pos(straddle._2) - pos(straddle._1)) >= 1,
+      s"corpus degenerated: no pair spans distinct stream positions")
+    val cut = (math.min(pos(straddle._1), pos(straddle._2)) +
+      math.max(pos(straddle._1), pos(straddle._2))) / 2 + 1
+    val (pre, post) = docs.splitAt(cut)
+
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"neardup-$n-$tag").toString
+    def start(mem: MemoryStream[Doc], out: String, ckpt: String) =
+      Streams.nearDupStream(mem.toDF(), corpus)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def rowsOf(out: String): Seq[(Long, Long, Double)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // interrupted run: two committed waves, cold stop, the rest of the
+    // corpus arrives while the query is down, restart from checkpoint
+    val (outI, ckptI) = (dir("rst-out"), dir("rst-ckpt"))
+    val mem = MemoryStream[Doc](spark)
+    val q1 = start(mem, outI, ckptI)
+    try pre.grouped(math.max(pre.length / 2, 1)).foreach { w =>
+      mem.addData(w.toIndexedSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    mem.addData(post.toIndexedSeq)
+    val q2 = start(mem, outI, ckptI)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // uninterrupted control: same waves, fresh source/sink/checkpoint
+    val (outC, ckptC) = (dir("ctl-out"), dir("ctl-ckpt"))
+    val memC = MemoryStream[Doc](spark)
+    val qc = start(memC, outC, ckptC)
+    try {
+      pre.grouped(math.max(pre.length / 2, 1)).foreach { w =>
+        memC.addData(w.toIndexedSeq); qc.processAllAvailable()
+      }
+      memC.addData(post.toIndexedSeq); qc.processAllAvailable()
+    } finally qc.stop()
+
+    val rec = rowsOf(outI)
+    val ctl = rowsOf(outC)
+    assert(rec.toSet == batch,
+      s"$tag recovered pair set != batch: missing=${batch -- rec.toSet} " +
+        s"extra=${rec.toSet -- batch}")
+    assert(rec.toSet.contains(straddle),
+      s"$tag pair straddling the restart must surface from recovered " +
+        s"state: $straddle")
+    assert(rec.sorted == ctl.sorted,
+      s"$tag restart changed the emitted multiset (loss or replay dupe): " +
+        s"recovered=${rec.sorted.take(10)}… control=${ctl.sorted.take(10)}…")
+  }
+
+  test("near-dup stream recovers from a checkpoint restart (default store)") {
+    nearDupRestartRecovery("dflt")
+  }
+
+  test("near-dup stream recovers from a checkpoint restart (RocksDB store)") {
+    // conf must stay set across BOTH starts: the provider class is read
+    // at each query start, and a provider swap mid-checkpoint is exactly
+    // the kind of silent incompatibility this pin exists to catch
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try nearDupRestartRecovery("rocks")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("streaming near-dup pairs equal the batch MinHash-LSH operator") {
