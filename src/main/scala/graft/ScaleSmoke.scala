@@ -85,8 +85,20 @@ object ScaleSmoke {
       s
     }
     val boiler = " legal notice all rights reserved"
+    // SCALE_SMOKE_REUSE=1 skips regeneration when target/scale-smoke
+    // already holds a corpus — for back-to-back experiments at the same
+    // factor (e.g. a local[32] run then its local-cluster companion)
+    // where rebuilding the 500× corpus would dominate the wall. The
+    // caller owns the factor-matches-directory invariant; the printed
+    // corpus counts below are the check.
+    val reuse = sys.env.get("SCALE_SMOKE_REUSE").contains("1") &&
+      new java.io.File(s"$big/documents.parquet").exists()
+    if (reuse) println(s"reusing existing corpus at $big")
+    // source-doc stride, also the boilerplate-df estimate below (docs-n
+    // = count of non-original copies, each carrying the hot suffix)
+    val n = stride(Tables.t(spark, src, "documents"), "doc_id")
+    if (!reuse) {
     val d = Tables.t(spark, src, "documents")
-    val n = stride(d, "doc_id")
     d.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("doc_id") + col("copy") * n).as("doc_id"),
         when(col("copy") === 0, col("text"))
@@ -119,6 +131,7 @@ object ScaleSmoke {
         (col("user_id") + col("copy") * nUsers).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$big/events.parquet")
+    }
 
     val docs = spark.read.parquet(s"$big/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$big/embeddings.parquet").count()
