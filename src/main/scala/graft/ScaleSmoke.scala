@@ -173,9 +173,12 @@ object ScaleSmoke {
     // twin then shows whether tier-0's §8.4.7 speedup transfers to the
     // component DAG — with IDENTICAL components, not just a count
     def clusterRun(): Long = {
+      // bit_xor, not sum: xxhash64 is full-range and summing 2.5M of
+      // them overflows long under ANSI (found the hard way at 500×);
+      // xor is order-free and the (doc_id, cluster) rows are unique
       val r = Dedup.ddCluster(spark, big)
         .agg(count(lit(1)),
-          sum(xxhash64(col("doc_id"), col("cluster")))).head
+          expr("bit_xor(xxhash64(doc_id, cluster))")).head
       println(s"  dd_cluster label checksum=${r.getLong(1)}")
       r.getLong(0)
     }
