@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryException}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Checkpoint-restart recovery for the three stateful mechanisms the
+  * near-dup pin (StreamsSpec.nearDupRestartRecovery) does NOT cover —
+  * each holds state in a different operator, so recovering one proves
+  * nothing about the others:
+  *
+  *  - `sessionize`: flatMapGroupsWithState with an EVENT-TIME TIMEOUT —
+  *    beyond the state rows themselves, the per-group timeout timestamp
+  *    and the watermark must round-trip the checkpoint, or a recovered
+  *    session flushes at the wrong time (or never).
+  *  - `dedupStream`: `dropDuplicatesWithinWatermark` — built-in keyed
+  *    dedup state. The failure mode of lost state is SILENT: a
+  *    re-delivered fingerprint is emitted as new, duplicating data
+  *    downstream, which is exactly what the operator exists to prevent.
+  *  - `hourlyByType` (append mode): StateStoreSave partial aggregates —
+  *    a window open across the restart must finalize with the
+  *    pre-restart contributions it can only get from the store.
+  *
+  * Shared protocol (same as the near-dup pin): parquet sink + real
+  * `checkpointLocation`, cold stop with state populated, remaining data
+  * arrives while the query is DOWN, restart, and the recovered output
+  * multiset must equal an uninterrupted control run's. In every case a
+  * row is planted to straddle the stop so the assertion can only pass
+  * if state genuinely recovered (committed offsets are not replayed, so
+  * re-derivation cannot fake it). */
+object StreamsRestartSpec {
+  // top-level so spark.implicits can derive their encoders (method-local
+  // case classes have no stable TypeTag)
+  case class V1(n: Long)
+  case class V2(n: Long, extra: Long)
+}
+
+class StreamsRestartSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+  private def dir(n: String): String =
+    java.nio.file.Files.createTempDirectory(n).toString
+
+  /** Drive `waves` through a fresh query twice — once stopped cold after
+    * `stopAfter` waves and restarted, once uninterrupted — and return
+    * (recovered, control) row multisets from the parquet sinks. */
+  private def restartVsControl[T](
+      newStream: MemoryStream[T] => org.apache.spark.sql.DataFrame,
+      waves: Seq[Seq[T]], stopAfter: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): (Seq[String], Seq[String]) = {
+
+    def run(interrupted: Boolean): Seq[String] = {
+      val (out, ckpt) = (dir("rst-out"), dir("rst-ckpt"))
+      val mem = MemoryStream[T](spark)
+      def start() = newStream(mem).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        waves.take(stopAfter).foreach { w =>
+          mem.addData(w.toIndexedSeq); q1.processAllAvailable()
+        }
+        if (!interrupted) waves.drop(stopAfter).foreach { w =>
+          mem.addData(w.toIndexedSeq); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      if (interrupted) {
+        waves.drop(stopAfter).foreach(w => mem.addData(w.toIndexedSeq))
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      spark.read.parquet(out).collect().map(_.mkString("|")).toSeq.sorted
+    }
+
+    (run(interrupted = true), run(interrupted = false))
+  }
+
+  test("sessionize recovers GroupState and its event-time timeout across restart") {
+    // Waves 1-2 open a session for user 1 ([5,20], n=2) that is STILL IN
+    // STATE at the stop. The post-restart event at t=70 closes it by
+    // gap; the ticks advance the watermark so the timeout machinery
+    // flushes the rest. The [5,20] session can only be emitted with
+    // n_events=2 if the GroupState (and the timeout timestamp that keeps
+    // it alive rather than instantly expiring) survived the checkpoint.
+    val waves = Seq(
+      Seq(Streams.Event(0, ts(5), 1, "click", 1.0)),
+      Seq(Streams.Event(1, ts(20), 1, "click", 2.0)),
+      Seq(Streams.Event(2, ts(70), 1, "view", 4.0),
+        Streams.Event(3, ts(75), 2, "click", 8.0)),
+      Seq(Streams.Event(99, ts(10000), 9, "tick", 0.0)),
+      Seq(Streams.Event(100, ts(20000), 9, "tick", 0.0)))
+    val (rec, ctl) = restartVsControl[Streams.Event](
+      mem => Streams.sessionize(mem.toDS()).toDF(), waves, stopAfter = 2)
+    assert(rec.exists(_.startsWith(s"1|${ts(5)}|${ts(20)}|2|3.0")),
+      s"straddling session [5,20] n=2 must surface from recovered state: $rec")
+    assert(rec == ctl, s"restart changed sessions: rec=$rec ctl=$ctl")
+  }
+
+  test("dedupStream recovers fingerprint state: a post-restart re-delivery is dropped") {
+    import StreamsSpec.Doc
+    // Doc 0 commits before the stop; doc 1 (same token set → same
+    // fingerprint) arrives while the query is down. If the dedup state
+    // were lost, doc 1 would be emitted as new — a SILENT duplicate.
+    val waves = Seq(
+      Seq(Doc(0, ts(1), "alpha beta"), Doc(10, ts(2), "gamma delta")),
+      Seq(Doc(1, ts(3), "beta  alpha"), Doc(2, ts(4), "epsilon zeta")))
+    val (rec, ctl) = restartVsControl[Doc](
+      mem => Streams.dedupStream(mem.toDF()), waves, stopAfter = 1)
+    val keptIds = rec.map(_.split('|')(0).toLong).toSet
+    assert(!keptIds.contains(1L),
+      s"re-delivered fingerprint after restart must be dropped: $rec")
+    assert(keptIds == Set(0L, 10L, 2L), s"kept=$keptIds")
+    assert(rec == ctl, s"restart changed dedup output: rec=$rec ctl=$ctl")
+  }
+
+  test("hourlyByType (append) finalizes a window opened before the restart") {
+    // Hour-0 accumulates two events before the stop; a third lands in
+    // the same window while the query is down, and the tick pushes the
+    // watermark past the window end so it finalizes post-restart. The
+    // emitted n_events=3 / sum=7.0 requires the pre-restart partial
+    // aggregate out of the recovered state store.
+    val waves = Seq(
+      Seq(Streams.Event(0, ts(5), 1, "click", 1.0),
+        Streams.Event(1, ts(20), 1, "click", 2.0)),
+      Seq(Streams.Event(2, ts(40), 2, "click", 4.0),
+        Streams.Event(3, ts(200), 9, "tick", 0.0)))
+    val (rec, ctl) = restartVsControl[Streams.Event](
+      mem => Streams.hourlyByType(mem.toDF()), waves, stopAfter = 1)
+    assert(rec.exists(_ == s"${ts(0)}|click|3|7.0"),
+      s"hour-0 window must finalize with the recovered partial: $rec")
+    assert(rec == ctl, s"restart changed windows: rec=$rec ctl=$ctl")
+  }
+
+  test("state-schema evolution breaks checkpoint resume fast, not silently") {
+    // The operational gotcha documented on nearDupRestartRecovery, made
+    // executable: the checkpoint pins the state encoder's schema, and a
+    // restart whose state class gained a field must be REJECTED at
+    // start (a clear state-schema error), not decode garbage. Observed:
+    // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE naming both schemas, with
+    // `spark.sql.streaming.stateStore.stateSchemaCheck=false` offered as
+    // the (dangerous) escape hatch. If a Spark upgrade ever makes this
+    // resume silently, this pin fails and the scaladoc claim must be
+    // re-verified before anyone trusts an in-place state-class upgrade
+    // at 100 TB.
+    import StreamsRestartSpec.{V1, V2}
+    val ckpt = dir("schema-ckpt"); val out = dir("schema-out")
+
+    def countWith[S](mem: MemoryStream[Streams.Event], zero: S, inc: S => S)(
+        implicit enc: org.apache.spark.sql.Encoder[S]) =
+      mem.toDS().withWatermark("ts", "30 minutes").groupByKey(_.user_id)
+        .flatMapGroupsWithState[S, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, rows, state: GroupState[S]) =>
+            val s = inc(state.getOption.getOrElse(zero))
+            state.update(s)
+            Iterator.single((uid, rows.size.toLong))
+        }.toDF("user_id", "n")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+
+    val mem = MemoryStream[Streams.Event](spark)
+    val q1 = countWith[V1](mem, V1(0), s => V1(s.n + 1)).start()
+    try {
+      mem.addData(Streams.Event(0, ts(5), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    mem.addData(Streams.Event(1, ts(10), 1, "click", 2.0))
+    val ex = intercept[StreamingQueryException] {
+      val q2 = countWith[V2](mem, V2(0, 0), s => V2(s.n + 1, s.extra)).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = (ex.getMessage + Option(ex.getCause).fold("")(_.getMessage))
+      .toLowerCase
+    assert(msg.contains("schema") || msg.contains("state"),
+      s"expected a state-schema incompatibility error, got: ${ex.getMessage}")
+  }
+}
