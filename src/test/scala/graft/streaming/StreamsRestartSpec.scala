@@ -136,6 +136,81 @@ class StreamsRestartSpec extends AnyFunSuite {
     assert(rec == ctl, s"restart changed windows: rec=$rec ctl=$ctl")
   }
 
+  test("file-source stream recovers its offset log: files arriving while down are picked up once") {
+    // The four MemoryStream pins above prove STATE recovery; this one
+    // proves SOURCE recovery on the production source shape — the file
+    // stream's offset log (which files are already committed) must
+    // round-trip the checkpoint, so a restart neither re-reads file A
+    // (duplicated aggregates) nor skips file B (lost data). The events
+    // corpus is split by TIME inside its densest hour window, so that
+    // window accumulates partial state from file A, survives the stop
+    // (A's watermark sits 10 min before the cut, inside the window),
+    // and finalizes post-restart with contributions from BOTH files.
+    import scala.jdk.CollectionConverters._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    // densest 1-hour window that still closes 10 min before the corpus
+    // ends (so the post-restart watermark provably finalizes it)
+    val w = ev.groupBy(window(col("ts"), "1 hour").as("w")).count()
+      .where(col("w.end") + expr("INTERVAL 10 MINUTES") < lit(maxTs))
+      .where(col("count") >= 2)
+      .orderBy(col("count").desc, col("w.start")).head
+    val (wStart, wEnd) =
+      (w.getStruct(0).getTimestamp(0), w.getStruct(0).getTimestamp(1))
+    val inW = ev.where(col("ts") >= lit(wStart) && col("ts") < lit(wEnd))
+      .orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val cut = inW(1) // ≥1 event strictly before, ≥1 at/after
+
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+        dst: java.nio.file.Path): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("evsplit")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dst)
+    }
+
+    def run(interrupted: Boolean): Seq[String] = {
+      val src = java.nio.file.Paths.get(dir("ev-src"))
+      val (out, ckpt) = (dir("ev-out"), dir("ev-ckpt"))
+      def start() = Streams.hourlyByType(Streams.eventFileStream(spark, src.toString))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      writeOne(ev.where(col("ts") < lit(cut)), src.resolve("a.parquet"))
+      // the source lists by modification time: pin A strictly older so
+      // the control run provably processes A before B (an mtime tie
+      // could flip the order and late-drop A's rows behind B's watermark)
+      java.nio.file.Files.setLastModifiedTime(src.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+      if (!interrupted)
+        writeOne(ev.where(col("ts") >= lit(cut)), src.resolve("b.parquet"))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      if (interrupted) {
+        // file B lands while the query is DOWN
+        writeOne(ev.where(col("ts") >= lit(cut)), src.resolve("b.parquet"))
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      spark.read.parquet(out).collect().map(_.mkString("|")).toSeq.sorted
+    }
+
+    val rec = run(interrupted = true)
+    val ctl = run(interrupted = false)
+    // the straddle window must carry BOTH files' contributions — the
+    // batch aggregate over the full corpus is the ground truth
+    val expectW = Streams.hourlyByType(ev)
+      .where(col("hour_start") === lit(wStart))
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val recW = rec.filter(_.startsWith(wStart.toString))
+    assert(recW == expectW,
+      s"window [$wStart,$wEnd) must finalize with both files' events: " +
+        s"recovered=$recW expected=$expectW")
+    assert(rec == ctl,
+      s"restart changed the file-stream output: rec=$rec ctl=$ctl")
+  }
+
   test("state-schema evolution breaks checkpoint resume fast, not silently") {
     // The operational gotcha documented on nearDupRestartRecovery, made
     // executable: the checkpoint pins the state encoder's schema, and a
