@@ -36,6 +36,12 @@ object ScaleSmoke {
     val builder = Graft.sessionBuilder().master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
+    // SCALE_SMOKE_CONF="k=v;k=v" — arbitrary session confs for
+    // experiments (e.g. spark.io.compression.codec=zstd to trade shuffle
+    // CPU for spill disk on ops whose tier-1 volume exceeds local disk)
+    sys.env.get("SCALE_SMOKE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
     if (master.startsWith("local-cluster")) {
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
