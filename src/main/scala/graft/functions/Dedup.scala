@@ -134,10 +134,36 @@ object Dedup {
     * [[ddNgramJaccard]]. */
   def ddNgramJaccardPairs(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame = {
     val base = ngramBase(spark, dir)
+    val slots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt
+    ngramShuffleWarning(graft.Tables.footerRowCount(spark, dir, "documents"),
+        slots, confLong(spark, "graft.ngram.warnDocs", 4000000L))
+      .foreach(log.warn(_))
     exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base,
-      mhPrefixSlots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt,
+      mhPrefixSlots = slots,
       mhPrefixMin = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
+  /** The §8.4.3e disk-wall advisory: at 5M documents the exact verify's
+    * tier-1 shuffle (candidate pairs carrying shingle hash arrays) was
+    * MEASURED to exceed ~78 GB of per-box spill under lz4 — the run
+    * dies with ENOSPC, not slowly. Above `warnDocs` (default 4M, just
+    * under the measured wall) the exact path logs the two measured
+    * escapes instead of failing opaquely an hour in: tier-0
+    * (`graft.ngram.mhPrefixSlots=16`, 79% of the shuffle discarded,
+    * identical pair set measured through 5M docs) or zstd shuffle
+    * compression. Advisory only — the operator stays exact. */
+  private[graft] def ngramShuffleWarning(nDocs: Long, mhPrefixSlots: Int,
+      warnDocs: Long): Option[String] =
+    if (mhPrefixSlots == 0 && nDocs >= warnDocs)
+      Some(s"dd_ngram_jaccard over $nDocs documents with the exact " +
+        "candidate shuffle: at 5M docs this tier-1 shuffle exceeded " +
+        "78 GB/box of lz4 spill (ENOSPC, SURVEY 8.4.3e). Consider " +
+        "graft.ngram.mhPrefixSlots=16 (79% shuffle discard, zero " +
+        "measured pair loss through 5M docs) or " +
+        "spark.io.compression.codec=zstd.")
+    else None
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
     if (dfCap > 0) dfCap

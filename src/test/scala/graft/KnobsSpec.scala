@@ -184,6 +184,20 @@ class KnobsSpec extends AnyFunSuite {
       .sameResult(offPlan), "default must stay tier-0-free (exact operator)")
   }
 
+  test("the exact-ngram disk-wall advisory fires only in the measured regime") {
+    // §8.4.3e: the exact tier-1 shuffle ENOSPC'd at 5M docs. The
+    // advisory must name the two measured escapes above the threshold
+    // with tier-0 off, and stay silent below it, with tier-0 on (the
+    // escape is already taken), or when the operator is tuned exact on
+    // a small corpus — gate corpora must never see it.
+    val warn = Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
+    assert(warn.exists(m => m.contains("mhPrefixSlots") && m.contains("zstd")),
+      s"advisory must name both measured escapes: $warn")
+    assert(Dedup.ngramShuffleWarning(3999999L, 0, 4000000L).isEmpty)
+    assert(Dedup.ngramShuffleWarning(5000000L, 16, 4000000L).isEmpty)
+    assert(Dedup.ngramShuffleWarning(5000L, 0, 4000000L).isEmpty)
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is
