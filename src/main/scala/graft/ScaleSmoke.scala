@@ -38,8 +38,12 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
     // SCALE_SMOKE_CONF="k=v;k=v" — arbitrary session confs for
     // experiments (e.g. spark.io.compression.codec=zstd to trade shuffle
-    // CPU for spill disk on ops whose tier-1 volume exceeds local disk)
+    // CPU for spill disk on ops whose tier-1 volume exceeds local disk).
+    // ';' is the entry separator, so conf VALUES must not contain ';'.
     sys.env.get("SCALE_SMOKE_CONF").foreach(_.split(";").foreach { kv =>
+      require(kv.contains("="),
+        s"bad SCALE_SMOKE_CONF entry '$kv': expected k=v;k=v " +
+          "(values must not contain ';')")
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)
     })
     if (master.startsWith("local-cluster")) {

@@ -135,43 +135,66 @@ object Dedup {
   def ddNgramJaccardPairs(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame = {
     val base = ngramBase(spark, dir)
     val slots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt
-    ngramShuffleWarning(graft.Tables.footerRowCount(spark, dir, "documents"),
-        slots, confLong(spark, "graft.ngram.warnDocs", 4000000L))
+    // ONE driver-side footer read per construction, shared by the
+    // advisory (which needs nDocs on BOTH tiers — each has its own
+    // measured wall) and the dfCap default. Shared, not cached: the
+    // smoke mains overwrite their target/ corpora between factors, so a
+    // (dir, table) cache would hand back stale counts.
+    val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+    ngramShuffleWarning(nDocs, slots,
+        confLong(spark, "graft.ngram.warnDocs", 4000000L),
+        confLong(spark, "graft.ngram.tier0WarnDocs", 8000000L))
       .foreach(log.warn(_))
-    exactVerify(ngramCandidatesFrom(base, resolveCap(spark, dir, dfCap)), base,
+    exactVerify(ngramCandidatesFrom(base,
+        if (dfCap > 0) dfCap else capForDocs(spark, nDocs)), base,
       mhPrefixSlots = slots,
       mhPrefixMin = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
 
-  /** The §8.4.3e disk-wall advisory: at 5M documents the exact verify's
-    * tier-1 shuffle (candidate pairs carrying shingle hash arrays) was
-    * MEASURED to exceed ~78 GB of per-box spill under lz4 — the run
-    * dies with ENOSPC, not slowly. Above `warnDocs` (default 4M, just
-    * under the measured wall) the exact path logs the two measured
-    * escapes instead of failing opaquely an hour in: tier-0
-    * (`graft.ngram.mhPrefixSlots=16`, 79% of the shuffle discarded,
-    * identical pair set measured through 5M docs) or zstd shuffle
-    * compression. Advisory only — the operator stays exact. */
+  /** The measured disk-wall advisories, one per tier (the full ladder
+    * is SURVEY §8.4.3e/f — exact ngram ENOSPCs at 5M docs under lz4,
+    * tier-0's own 79%-slimmed shuffle one doubling later at 10M, and
+    * zstd rescues each at its scale):
+    *
+    *  - `mhPrefixSlots == 0` above `warnDocs` (default 4M, just under
+    *    the measured 5M wall): the exact tier-1 shuffle (candidate
+    *    pairs carrying shingle hash arrays) exceeded ~78 GB of per-box
+    *    lz4 spill — the run dies with ENOSPC, not slowly. Names the
+    *    two measured escapes: tier-0 (identical pair set measured
+    *    through 10M docs) or zstd.
+    *  - `mhPrefixSlots > 0` above `tier0WarnDocs` (default 8M, just
+    *    under the measured 10M wall): tier-0 itself hits the same box's
+    *    disk at 2× the corpus; the only remaining escape is zstd
+    *    (measured: 560.5 s at 10M docs, formula-exact pair count).
+    *
+    * Advisory only — the operator's output is unaffected. */
   private[graft] def ngramShuffleWarning(nDocs: Long, mhPrefixSlots: Int,
-      warnDocs: Long): Option[String] =
+      warnDocs: Long, tier0WarnDocs: Long = 8000000L): Option[String] =
     if (mhPrefixSlots == 0 && nDocs >= warnDocs)
       Some(s"dd_ngram_jaccard over $nDocs documents with the exact " +
         "candidate shuffle: at 5M docs this tier-1 shuffle exceeded " +
         "78 GB/box of lz4 spill (ENOSPC, SURVEY 8.4.3e). Consider " +
         "graft.ngram.mhPrefixSlots=16 (79% shuffle discard, zero " +
-        "measured pair loss through 5M docs) or " +
+        "measured pair loss through 10M docs) or " +
         "spark.io.compression.codec=zstd.")
+    else if (mhPrefixSlots > 0 && nDocs >= tier0WarnDocs)
+      Some(s"dd_ngram_jaccard over $nDocs documents with tier-0 " +
+        s"(mhPrefixSlots=$mhPrefixSlots): the slimmed candidate shuffle " +
+        "hit the same ~78 GB/box lz4 spill wall at 10M docs (ENOSPC, " +
+        "SURVEY 8.4.3f). Set spark.io.compression.codec=zstd — measured " +
+        "to complete at 10M docs with the formula-exact pair set.")
     else None
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
     if (dfCap > 0) dfCap
-    else {
-      val factor = confLong(spark, "graft.ngram.dfCapFactor", 8L)
-      val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
-      math.max(64L, factor * math.round(math.sqrt(nDocs.toDouble))).toInt
-    }
+    else capForDocs(spark, graft.Tables.footerRowCount(spark, dir, "documents"))
+
+  private def capForDocs(spark: SparkSession, nDocs: Long): Int = {
+    val factor = confLong(spark, "graft.ngram.dfCapFactor", 8L)
+    math.max(64L, factor * math.round(math.sqrt(nDocs.toDouble))).toInt
+  }
 
   /** The ngram candidate pairs BEFORE exact verification — factored out
     * (like [[minhashCandidates]]) so the scale smoke can measure

@@ -187,15 +187,33 @@ class KnobsSpec extends AnyFunSuite {
   test("the exact-ngram disk-wall advisory fires only in the measured regime") {
     // §8.4.3e: the exact tier-1 shuffle ENOSPC'd at 5M docs. The
     // advisory must name the two measured escapes above the threshold
-    // with tier-0 off, and stay silent below it, with tier-0 on (the
-    // escape is already taken), or when the operator is tuned exact on
-    // a small corpus — gate corpora must never see it.
+    // with tier-0 off, and stay silent below it, with tier-0 on below
+    // ITS wall (the escape is already taken), or when the operator is
+    // tuned exact on a small corpus — gate corpora must never see it.
     val warn = Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
     assert(warn.exists(m => m.contains("mhPrefixSlots") && m.contains("zstd")),
       s"advisory must name both measured escapes: $warn")
     assert(Dedup.ngramShuffleWarning(3999999L, 0, 4000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000000L, 16, 4000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000L, 0, 4000000L).isEmpty)
+  }
+
+  test("tier-0's own disk-wall advisory fires above the 8.4.3f threshold") {
+    // §8.4.3f: tier-0's slimmed shuffle hit the same lz4 wall one
+    // doubling later, at 10M docs. With slots > 0 the advisory must
+    // fire above tier0WarnDocs (default 8M) naming zstd — the only
+    // remaining measured escape — and stay silent below it. The exact
+    // path's own regime (slots = 0) is unaffected by tier0WarnDocs.
+    val warn = Dedup.ngramShuffleWarning(10000000L, 16, 4000000L, 8000000L)
+    assert(warn.exists(m => m.contains("tier-0") && m.contains("zstd")
+        && m.contains("8.4.3f")),
+      s"tier-0 advisory must name the zstd escape and the ladder: $warn")
+    assert(Dedup.ngramShuffleWarning(7999999L, 16, 4000000L, 8000000L).isEmpty)
+    assert(Dedup.ngramShuffleWarning(5000L, 16, 4000000L, 8000000L).isEmpty)
+    // slots = 0 above BOTH thresholds still reports the exact-path wall
+    // (its message carries the tier-0 escape; it must not be shadowed)
+    assert(Dedup.ngramShuffleWarning(10000000L, 0, 4000000L, 8000000L)
+      .exists(_.contains("8.4.3e")))
   }
 
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {

@@ -80,7 +80,23 @@ class StreamsRestartSpec extends AnyFunSuite {
     (run(interrupted = true), run(interrupted = false))
   }
 
-  test("sessionize recovers GroupState and its event-time timeout across restart") {
+  /** Register `body` under BOTH state-store providers (the StreamsSpec
+    * near-dup pattern): the default heap map and RocksDB — the 100 TB
+    * deployment store, whose checkpoint format (changelog + sst) is a
+    * different recovery code path entirely. The provider class is read
+    * at each query START, so the conf must stay set across the restart
+    * inside `body` — exactly what this wrapper guarantees. */
+  private def testBothStores(name: String)(body: => Unit): Unit = {
+    test(s"$name (default store)")(body)
+    test(s"$name (RocksDB store)") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  testBothStores("sessionize recovers GroupState and its event-time timeout across restart") {
     // Waves 1-2 open a session for user 1 ([5,20], n=2) that is STILL IN
     // STATE at the stop. The post-restart event at t=70 closes it by
     // gap; the ticks advance the watermark so the timeout machinery
@@ -101,7 +117,7 @@ class StreamsRestartSpec extends AnyFunSuite {
     assert(rec == ctl, s"restart changed sessions: rec=$rec ctl=$ctl")
   }
 
-  test("dedupStream recovers fingerprint state: a post-restart re-delivery is dropped") {
+  testBothStores("dedupStream recovers fingerprint state: a post-restart re-delivery is dropped") {
     import StreamsSpec.Doc
     // Doc 0 commits before the stop; doc 1 (same token set → same
     // fingerprint) arrives while the query is down. If the dedup state
@@ -118,7 +134,7 @@ class StreamsRestartSpec extends AnyFunSuite {
     assert(rec == ctl, s"restart changed dedup output: rec=$rec ctl=$ctl")
   }
 
-  test("hourlyByType (append) finalizes a window opened before the restart") {
+  testBothStores("hourlyByType (append) finalizes a window opened before the restart") {
     // Hour-0 accumulates two events before the stop; a third lands in
     // the same window while the query is down, and the tick pushes the
     // watermark past the window end so it finalizes post-restart. The
@@ -136,7 +152,7 @@ class StreamsRestartSpec extends AnyFunSuite {
     assert(rec == ctl, s"restart changed windows: rec=$rec ctl=$ctl")
   }
 
-  test("file-source stream recovers its offset log: files arriving while down are picked up once") {
+  testBothStores("file-source stream recovers its offset log: files arriving while down are picked up once") {
     // The four MemoryStream pins above prove STATE recovery; this one
     // proves SOURCE recovery on the production source shape — the file
     // stream's offset log (which files are already committed) must
@@ -150,16 +166,24 @@ class StreamsRestartSpec extends AnyFunSuite {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
     // densest 1-hour window that still closes 10 min before the corpus
-    // ends (so the post-restart watermark provably finalizes it)
-    val w = ev.groupBy(window(col("ts"), "1 hour").as("w")).count()
+    // ends (so the post-restart watermark provably finalizes it) AND
+    // holds ≥2 DISTINCT timestamps — with a count-only pick, a window
+    // of tied timestamps would put zero rows in file A and the test
+    // would silently degrade to proving offset-log recovery only
+    val w = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("count"), countDistinct(col("ts")).as("nts"))
       .where(col("w.end") + expr("INTERVAL 10 MINUTES") < lit(maxTs))
-      .where(col("count") >= 2)
+      .where(col("nts") >= 2)
       .orderBy(col("count").desc, col("w.start")).head
     val (wStart, wEnd) =
       (w.getStruct(0).getTimestamp(0), w.getStruct(0).getTimestamp(1))
     val inW = ev.where(col("ts") >= lit(wStart) && col("ts") < lit(wEnd))
       .orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
-    val cut = inW(1) // ≥1 event strictly before, ≥1 at/after
+    // first timestamp STRICTLY after the window's earliest: guarantees
+    // ≥1 in-window event before the cut (partial state in file A) and
+    // ≥1 at/after it (the window finalizes only with file B's rows)
+    val cut = inW.find(_.getTime > inW(0).getTime)
+      .getOrElse(fail(s"window [$wStart,$wEnd) lost its distinct timestamps"))
 
     def writeOne(df: org.apache.spark.sql.DataFrame,
         dst: java.nio.file.Path): Unit = {
@@ -250,9 +274,24 @@ class StreamsRestartSpec extends AnyFunSuite {
       val q2 = countWith[V2](mem, V2(0, 0), s => V2(s.n + 1, s.extra)).start()
       try q2.processAllAvailable() finally q2.stop()
     }
+    // pin the ERROR CONDITION, not loose substrings: a streaming
+    // failure's message embeds the logical plan (which contains
+    // 'FlatMapGroupsWithState'), so the old contains("state") passed on
+    // ANY failure from this query. The cause chain's SparkThrowable
+    // condition (observed: STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE) can
+    // only come from a genuine state-schema rejection; the lone
+    // message fallback is "schema_not_compatible" for a condition
+    // rename across Spark upgrades — a string no plan dump contains.
+    val conditions = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .collect { case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition) }.flatten.toSeq
     val msg = (ex.getMessage + Option(ex.getCause).fold("")(_.getMessage))
       .toLowerCase
-    assert(msg.contains("schema") || msg.contains("state"),
-      s"expected a state-schema incompatibility error, got: ${ex.getMessage}")
+    assert(conditions.exists(c =>
+        c.contains("SCHEMA") && c.contains("COMPATIBLE")) ||
+        msg.contains("schema_not_compatible"),
+      s"expected a state-schema incompatibility error " +
+        s"(conditions=$conditions), got: ${ex.getMessage}")
   }
 }
