@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, TopKAgg, VectorOps}
+
+/** Pair-level quality measurement for the bucketed embed-cosine route
+  * (SURVEY §8.4.8) — the embed analogue of BoundarySmoke's j = 0.5
+  * corpus for the ngram tier-0 filter.
+  *
+  * The bucketed route (`ddEmbedCosine`, N > exactMax) scores a pair
+  * only when both vectors share an IVF (cluster, shard); a true
+  * near-dup pair straddling a Voronoi boundary is structurally missed.
+  * Until this smoke, that miss rate was pinned by a 20-planted-pair
+  * unit spec only. Protocol:
+  *
+  *  1. Background: sf0.1 embeddings ×factor with the RecallSmoke
+  *     perturbation generator (unit-norm 64-dim vectors; per-copy
+  *     amplitudes 0.02–1.0 make a realistic mix of tight clusters and
+  *     near-random vectors).
+  *  2. Planted true pairs: nPlant disjoint base vectors per amplitude
+  *     tier; the partner is base + elementwise uniform hash noise of
+  *     the tier's amplitude. On unit-norm 64-dim vectors the tiers
+  *     {0.005, 0.01, 0.02, 0.05, 0.1, 0.2} land pair cosines from
+  *     ~0.9997 (near-verbatim) down to ~0.73 (well past near-dup
+  *     grade) — the measured per-tier cosine is reported, the
+  *     amplitude is just the lever.
+  *  3. Measurement: [[graft.functions.Dedup.embedCells]] (the exact
+  *     cell/shard assignment the operator joins on). A planted pair is
+  *     MISSED iff its sides land in different (cluster, shard) — no
+  *     top-40 truncation in the way. Reported per tier: measured
+  *     cosine, cluster-split rate, shard-split rate.
+  *  4. Boundary adversarial cut: each base's top-2 centroid margin
+  *     (cos₁ − cos₂ over the SAME centroids the route used) measures
+  *     its distance to its Voronoi boundary. Misses must concentrate
+  *     in the low-margin tail — reported as miss rate per margin
+  *     decile plus the bottom-5% (the boundary set) vs the rest. A
+  *     pair ON the boundary is the construction BoundarySmoke plants
+  *     explicitly; here the corpus geometry supplies it and the margin
+  *     measurement identifies it.
+  *  5. `exact=1` (feasible through ~200×): run the full exact
+  *     broadcast-nested-loop route vs the bucketed route end-to-end
+  *     and report top-40 overlap — the operator-contract check.
+  *
+  * Run: sbt "runMain graft.EmbedRecallSmoke [factor] [nPlant] [exact01]"
+  */
+object EmbedRecallSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(200)
+    val nPlant = args.lift(1).map(_.toInt).getOrElse(2000)
+    val runExact = args.lift(2).exists(_ == "1")
+    val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
+    val spark = Graft.sessionBuilder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val big = "target/embed-recall-smoke"
+    val amps = Seq(0.005, 0.01, 0.02, 0.05, 0.1, 0.2)
+
+    // -- background: the RecallSmoke generator ------------------------
+    val e = Tables.t(spark, src, "embeddings")
+    val ne = Option(e.agg(max("vec_id")).head.getAs[Number](0))
+      .map(_.longValue + 1).getOrElse(0L)
+    val nBg = ne * factor
+    val bgAmp = (col("copy") % 7).cast("double") / 7.0 * 0.98 + 0.02
+    val bg = e.crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * ne).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x + ((pmod(xxhash64(col("vec_id"), col("copy"), i), lit(2001))
+              - 1000).cast("double") / 1000.0 * bgAmp).cast("float"))
+              .cast("float"))).as("embedding"),
+        col("label"))
+
+    // -- planted pairs: disjoint bases per tier, partner ids ≥ PBASE --
+    // base pick k ↦ (k·9973) mod nBg is injective while
+    // tiers·nPlant < nBg (9973 prime, coprime to nBg = 2000·factor)
+    val PBASE = 1000000000000L
+    require(amps.size.toLong * nPlant < nBg, "too many plants for corpus")
+    val picks = spark.range(amps.size.toLong * nPlant).select(
+      (col("id") / nPlant).cast("int").as("tier"),
+      (col("id") % nPlant).as("k"),
+      pmod(col("id") * 9973L, lit(nBg)).as("base_id"))
+    val ampCol = element_at(
+      array(amps.map(lit): _*), col("tier") + 1).cast("double")
+    val partners = picks
+      .join(bg.select(col("vec_id").as("base_id"), col("embedding"),
+        col("label")), "base_id")
+      .select(col("tier"), col("base_id"),
+        (lit(PBASE) + col("tier") * lit(100000000L) + col("k")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + ((pmod(xxhash64(col("base_id"), col("tier"), i), lit(2001))
+            - 1000).cast("double") / 1000.0 * ampCol).cast("float"))
+            .cast("float")).as("embedding"),
+        // label is INTEGER in the source schema; -1 marks planted rows
+        lit(-1).cast("int").as("label"))
+    partners.select("tier", "base_id", "vec_id")
+      .withColumnRenamed("vec_id", "partner_id")
+      .write.mode("overwrite").parquet(s"$big/pairs")
+    bg.unionByName(partners.select("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    val nVecs = Tables.footerRowCount(spark, big, "embeddings")
+    println(s"corpus: $nVecs vectors (${factor}x background = $nBg + " +
+      s"${amps.size}x$nPlant planted partners)")
+
+    // -- pair-level co-residency over the operator's own cells --------
+    val t0 = System.nanoTime()
+    val cells = Dedup.embedCells(spark, big, 4096L)
+      .select("vec_id", "cluster", "shard").cache()
+    cells.count()
+    println(f"cell assignment: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val pairs = spark.read.parquet(s"$big/pairs")
+    val emb = spark.read.parquet(s"$big/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withCos = pairs
+      .join(emb.select(col("vec_id").as("base_id"), col("v").as("va")), "base_id")
+      .join(emb.select(col("vec_id").as("partner_id"), col("v").as("vb")),
+        "partner_id")
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")) /
+        (VectorOps.l2norm(col("va")) * VectorOps.l2norm(col("vb"))))
+      .select("tier", "base_id", "partner_id", "cos")
+    val measured = withCos
+      .join(cells.select(col("vec_id").as("base_id"), col("cluster").as("ca"),
+        col("shard").as("sa")), Seq("base_id"), "left")
+      .join(cells.select(col("vec_id").as("partner_id"),
+        col("cluster").as("cb"), col("shard").as("sb")), Seq("partner_id"), "left")
+      .withColumn("unmeasured", col("ca").isNull || col("cb").isNull)
+      .withColumn("clusterSplit", !col("unmeasured") && col("ca") =!= col("cb"))
+      .withColumn("shardSplit", !col("unmeasured") &&
+        col("ca") === col("cb") && col("sa") =!= col("sb"))
+      .cache()
+    println("tier  amp    pairs  meanCos  minCos   clusterSplit shardSplit  missRate")
+    measured.groupBy("tier").agg(
+        count(lit(1)).as("n"), avg("cos").as("mc"), min("cos").as("mn"),
+        sum(col("clusterSplit").cast("long")).as("cs"),
+        sum(col("shardSplit").cast("long")).as("ss"),
+        sum(col("unmeasured").cast("long")).as("um"))
+      .orderBy("tier").collect().foreach { r =>
+        val (n, cs, ss, um) = (r.getLong(1), r.getLong(4), r.getLong(5),
+          r.getLong(6))
+        println(f"${r.getInt(0)}%4d  ${amps(r.getInt(0))}%.3f  $n%6d  " +
+          f"${r.getDouble(2)}%.4f  ${r.getDouble(3)}%.4f  " +
+          f"$cs%8d     $ss%6d      ${(cs + ss).toDouble / (n - um)}%.4f" +
+          (if (um > 0) s"  (unmeasured=$um)" else ""))
+      }
+
+    // -- boundary cut: top-2 centroid margin of each base -------------
+    val (ev, cents, _) = Similarity.ivfParts(spark, big)
+    val margins = ev.join(broadcast(cents))
+      .select(col("vec_id"),
+        (VectorOps.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn"))).as("ccos"), col("c_id"))
+      .groupBy("vec_id")
+      .agg(TopKAgg.topk(col("ccos"), col("c_id"), 2).as("tk"))
+      .select(col("vec_id").as("base_id"),
+        (get(col("tk"), lit(0)).getField("score") -
+          coalesce(get(col("tk"), lit(1)).getField("score"), lit(-1.0)))
+          .as("margin"))
+    val byMargin = measured.where(!col("unmeasured"))
+      .join(margins, "base_id")
+      .withColumn("miss", col("clusterSplit") || col("shardSplit"))
+      .cache()
+    println("\nmiss rate by base top-2 centroid margin decile (1 = nearest boundary), all tiers:")
+    import org.apache.spark.sql.expressions.Window
+    val dec = byMargin.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("margin"))))
+    dec.groupBy("decile").agg(count(lit(1)).as("n"),
+        avg(col("miss").cast("double")).as("missRate"),
+        max("margin").as("maxMargin"))
+      .orderBy("decile").collect().foreach { r =>
+        println(f"  d${r.getInt(0)}%-2d n=${r.getLong(1)}%6d  " +
+          f"miss=${r.getDouble(2)}%.4f  margin≤${r.getDouble(3)}%.4f")
+      }
+    val cut = byMargin.stat.approxQuantile("margin", Array(0.05), 0.001)(0)
+    Seq(("boundary (margin<=p5)", col("margin") <= cut),
+        ("interior (margin> p5)", col("margin") > cut)).foreach { case (tag, cond) =>
+      val r = byMargin.where(cond)
+        .agg(count(lit(1)), avg(col("miss").cast("double"))).head
+      println(f"  $tag: n=${r.getLong(0)} miss=${r.getDouble(1)}%.4f")
+      println("  per tier:")
+      byMargin.where(cond).groupBy("tier")
+        .agg(count(lit(1)).as("n"), avg(col("miss").cast("double")).as("m"),
+          avg("cos").as("c"))
+        .orderBy("tier").collect().foreach { t =>
+          println(f"    tier ${t.getInt(0)} amp=${amps(t.getInt(0))}%.3f " +
+            f"cos=${t.getDouble(3)}%.4f n=${t.getLong(1)} miss=${t.getDouble(2)}%.4f")
+        }
+    }
+
+    // -- operator-contract check: exact vs bucketed top-40 ------------
+    if (runExact) {
+      def top40(tag: String, exactMax: String): Set[(Long, Long)] = {
+        spark.conf.set("graft.embedCosine.exactMax", exactMax)
+        val t1 = System.nanoTime()
+        val s = Dedup.ddEmbedCosine(spark, big).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.conf.unset("graft.embedCosine.exactMax")
+        println(f"$tag top-40: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+        s
+      }
+      val ex = top40("exact", Long.MaxValue.toString)
+      val bk = top40("bucketed", "0")
+      println(s"top-40 overlap: ${(ex intersect bk).size}/40 " +
+        s"(exact-only=${(ex -- bk).size} bucketed-only=${(bk -- ex).size})")
+    }
+    spark.stop()
+  }
+}

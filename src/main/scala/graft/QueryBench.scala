@@ -16,11 +16,20 @@ object QueryBench {
       .getOrElse(Seq("dd_simhash_wide"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Graft.sessionBuilder()
+    val builder = Graft.sessionBuilder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // QUERY_BENCH_CONF="k=v;k=v" — session confs that must be set at
+    // context build (e.g. spark.io.compression.codec=zstd for the codec
+    // A/B; core confs are not settable via spark.conf.set at runtime).
+    // ';' separates entries, so values must not contain ';'.
+    sys.env.get("QUERY_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      require(kv.contains("="),
+        s"bad QUERY_BENCH_CONF entry '$kv': expected k=v;k=v")
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).select(col("id") % 97 as "k", col("id") as "v")
       .groupBy("k").agg(fsum("v")).count()

@@ -752,19 +752,7 @@ object Dedup {
       // mega-cell is near-uniform by construction — every shard is
       // full of its top pairs (pinned in FunctionsSpec on a 300-dup
       // blob). Cells under the cap get shards = 1: behavior unchanged.
-      //
-      // The explicit cluster-key repartition is the materialization
-      // point that the cell-count window consumes and both self-join
-      // sides read back (ReusedExchange; partitioning by `cluster`
-      // alone still satisfies the (cluster, shard) join's clustered
-      // distribution) — the N×√N assignment pass runs exactly once.
-      val byCell = Window.partitionBy("cluster")
-      val a = Similarity.ivfParts(spark, dir)._3
-        .repartition(col("cluster"))
-        .withColumn("shards",
-          ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
-        .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
-        .drop("shards")
+      val a = embedCells(spark, dir, cellCap)
       a.alias("a").join(a.alias("b"),
           col("a.cluster") === col("b.cluster") &&
           col("a.shard") === col("b.shard") &&
@@ -789,6 +777,30 @@ object Dedup {
               concat(lit("embed invariant violated: |cos| > 1: "), col("cos"))),
             col("cos")).as("cos"))
     }
+  }
+
+  /** The bucketed embed route's cell assignment — (vec_id, v, nrm,
+    * cluster, shard) after the mega-cell hash-split — factored out
+    * (like [[ngramCandidates]]) so EmbedRecallSmoke can measure the
+    * route's pair-level quality directly: a pair is scorable iff both
+    * sides share (cluster, shard), so the measured miss rate of planted
+    * true pairs is exactly the co-residency failure rate here, with no
+    * top-40 truncation in the way.
+    *
+    * The explicit cluster-key repartition is the materialization point
+    * that the cell-count window consumes and both self-join sides read
+    * back (ReusedExchange; partitioning by `cluster` alone still
+    * satisfies the (cluster, shard) join's clustered distribution) —
+    * the N×√N assignment pass runs exactly once. */
+  private[graft] def embedCells(spark: SparkSession, dir: String,
+      cellCap: Long): DataFrame = {
+    val byCell = Window.partitionBy("cluster")
+    Similarity.ivfParts(spark, dir)._3
+      .repartition(col("cluster"))
+      .withColumn("shards",
+        ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
+      .drop("shards")
   }
 
   /** Benchmark decontamination: flag documents sharing any 3-gram with
