@@ -693,6 +693,18 @@ object Dedup {
     *    route at gate SF and requires every planted near-dup pair in
     *    the top-40, plus the mega-cell blob case below).
     *
+    * MEASURED bucketed-route quality (EmbedRecallSmoke, SURVEY §8.4.8;
+    * 12k planted true pairs per run, SCALE-STABLE across 0.2M/0.4M/1M
+    * vectors): pair-level miss ≈ 0.02–0.04 at cos ≥ 0.9995, ≈ 0.06–0.09
+    * at cos ≈ 0.9985, ≈ 0.15–0.20 at cos ≈ 0.99, ≈ ⅓ at cos ≈ 0.97 —
+    * the route is a NEAR-VERBATIM pair miner, not a general cos ≥ t
+    * scorer. Misses are geometric, not random: a pair whose base sits
+    * in the bottom margin decile (top-2 centroid cosine gap ≤ ~0.004 —
+    * ON the Voronoi boundary) misses at ~0.46 while the top decile
+    * misses at ~0.02, and interior near-verbatim pairs at < 0.005. The
+    * top-40 OPERATOR contract held 39/40 (0.2M) and 40/40 (0.4M)
+    * against the exact route at 224× less wall.
+    *
     * Zero-norm vectors are excluded in both routes (undefined cosine;
     * NaN would top the ranking), mirrored in the oracle. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame =
@@ -720,6 +732,7 @@ object Dedup {
       if (maxCell > 0) maxCell
       else confLong(spark, "graft.embedCosine.maxCell", 4096L)
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    embedRouteAdvisory(nVecs, exactMax).foreach(log.warn(_))
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -778,6 +791,23 @@ object Dedup {
             col("cos")).as("cos"))
     }
   }
+
+  /** The §8.4.8 route advisory: when the corpus size routes the top-40
+    * mining onto the bucketed path, log what that buys and costs in
+    * MEASURED terms, so a 100 TB operator learns the quality trade from
+    * the logs rather than the source. Advisory only — the routing
+    * itself is the documented default. */
+  private[graft] def embedRouteAdvisory(nVecs: Long,
+      exactMax: Long): Option[String] =
+    if (nVecs > exactMax)
+      Some(s"dd_embed_cosine over $nVecs vectors routes BUCKETED " +
+        s"(exactMax=$exactMax): pairs score within IVF cells only. " +
+        "Measured pair-level miss (scale-stable through 1M vectors, " +
+        "SURVEY 8.4.8): ~2-4% at cos>=0.9995, ~15-20% at cos~0.99, " +
+        "concentrated on cell boundaries; the top-40 contract measured " +
+        "39-40/40 vs the exact route. For exhaustive pair mining raise " +
+        "graft.embedCosine.exactMax knowingly (N^2/2 dot products).")
+    else None
 
   /** The bucketed embed route's cell assignment — (vec_id, v, nrm,
     * cluster, shard) after the mega-cell hash-split — factored out

@@ -216,6 +216,18 @@ class KnobsSpec extends AnyFunSuite {
       .exists(_.contains("8.4.3e")))
   }
 
+  test("the embed bucketed-route advisory fires only when the route flips") {
+    // §8.4.8: the bucketed path's measured quality trade must surface
+    // in the logs the moment the corpus (or a forced exactMax) routes
+    // onto it — naming the measured miss curve's section and the knob
+    // that buys exactness back — and stay silent on the exact route.
+    val warn = Dedup.embedRouteAdvisory(1000000L, 65536L)
+    assert(warn.exists(m => m.contains("8.4.8") && m.contains("exactMax")),
+      s"advisory must cite the measured curve and the escape knob: $warn")
+    assert(Dedup.embedRouteAdvisory(65536L, 65536L).isEmpty)
+    assert(Dedup.embedRouteAdvisory(2000L, 65536L).isEmpty)
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is
