@@ -48,6 +48,9 @@ object EmbedRecallSmoke {
     val factor = args.headOption.map(_.toInt).getOrElse(200)
     val nPlant = args.lift(1).map(_.toInt).getOrElse(2000)
     val runExact = args.lift(2).exists(_ == "1")
+    // absent → the operator's default probeMargin applies; an explicit
+    // value (incl. 0 = off) pins the conf for A/B runs
+    val probeMargin = args.lift(3).map(_.toDouble)
     val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
     val spark = Graft.sessionBuilder().master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -101,14 +104,24 @@ object EmbedRecallSmoke {
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     val nVecs = Tables.footerRowCount(spark, big, "embeddings")
     println(s"corpus: $nVecs vectors (${factor}x background = $nBg + " +
-      s"${amps.size}x$nPlant planted partners)")
+      s"${amps.size}x$nPlant planted partners)" +
+      probeMargin.fold("")(m => s", probeMargin=$m"))
+    probeMargin.foreach(m =>
+      spark.conf.set("graft.embedCosine.probeMargin", m.toString))
 
     // -- pair-level co-residency over the operator's own cells --------
     val t0 = System.nanoTime()
-    val cells = Dedup.embedCells(spark, big, 4096L)
-      .select("vec_id", "cluster", "shard").cache()
-    cells.count()
-    println(f"cell assignment: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val rawCells = Dedup.embedCells(spark, big, 4096L)
+    val cells = rawCells
+      .select((Seq("vec_id", "cluster", "shard") ++
+        (if (rawCells.columns.contains("other")) Seq("other") else Nil))
+        .map(col): _*)
+      .cache()
+    val nRows = cells.count()
+    println(f"cell assignment: ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+      (if (rawCells.columns.contains("other"))
+        f" (rows $nRows = ${nRows.toDouble / nVecs}%.3fx replication)"
+      else ""))
     val pairs = spark.read.parquet(s"$big/pairs")
     val emb = spark.read.parquet(s"$big/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -119,15 +132,32 @@ object EmbedRecallSmoke {
       .withColumn("cos", VectorOps.dot(col("va"), col("vb")) /
         (VectorOps.l2norm(col("va")) * VectorOps.l2norm(col("vb"))))
       .select("tier", "base_id", "partner_id", "cos")
+    // under boundary multi-probe (probeMargin > 0) a vector can occupy
+    // two cells — join all rows per side and aggregate per pair: the
+    // route scores the pair iff some row combo satisfies its own join
+    // condition (same cell+shard AND that cell is the min-common cell).
+    // With probing off, cellsX = [cluster] and this reduces exactly to
+    // the single-row semantics.
+    def sideRows(idCol: String, p: String) = cells.select(
+      col("vec_id").as(idCol), col("cluster").as(s"c$p"),
+      col("shard").as(s"s$p"),
+      (if (cells.columns.contains("other"))
+        when(col("other").isNotNull, array(col("cluster"), col("other")))
+          .otherwise(array(col("cluster")))
+      else array(col("cluster"))).as(s"cells$p"))
     val measured = withCos
-      .join(cells.select(col("vec_id").as("base_id"), col("cluster").as("ca"),
-        col("shard").as("sa")), Seq("base_id"), "left")
-      .join(cells.select(col("vec_id").as("partner_id"),
-        col("cluster").as("cb"), col("shard").as("sb")), Seq("partner_id"), "left")
-      .withColumn("unmeasured", col("ca").isNull || col("cb").isNull)
-      .withColumn("clusterSplit", !col("unmeasured") && col("ca") =!= col("cb"))
-      .withColumn("shardSplit", !col("unmeasured") &&
-        col("ca") === col("cb") && col("sa") =!= col("sb"))
+      .join(sideRows("base_id", "a"), Seq("base_id"), "left")
+      .join(sideRows("partner_id", "b"), Seq("partner_id"), "left")
+      .withColumn("rowMeasured", col("ca").isNotNull && col("cb").isNotNull)
+      .withColumn("rowCommon", col("rowMeasured") && col("ca") === col("cb"))
+      .withColumn("rowHit", col("rowCommon") && col("sa") === col("sb") &&
+        col("ca") === array_min(array_intersect(col("cellsa"), col("cellsb"))))
+      .groupBy("tier", "base_id", "partner_id", "cos")
+      .agg(max(col("rowMeasured")).as("m"), max(col("rowCommon")).as("common"),
+        max(col("rowHit")).as("hit"))
+      .withColumn("unmeasured", !col("m"))
+      .withColumn("clusterSplit", col("m") && !col("common"))
+      .withColumn("shardSplit", col("m") && col("common") && !col("hit"))
       .cache()
     println("tier  amp    pairs  meanCos  minCos   clusterSplit shardSplit  missRate")
     measured.groupBy("tier").agg(

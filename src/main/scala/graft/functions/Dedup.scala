@@ -54,6 +54,10 @@ object Dedup {
   private def confLong(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.get(key, default.toString).toLong
 
+  private def confDouble(spark: SparkSession, key: String,
+      default: Double): Double =
+    spark.conf.get(key, default.toString).toDouble
+
   /** 3-word shingles (distinct) of the whitespace tokenization — native
     * single-pass expression (see [[ShingleArray]]; the higher-order
     * `transform(sequence, slice)` formulation re-splits the document per
@@ -695,15 +699,22 @@ object Dedup {
     *
     * MEASURED bucketed-route quality (EmbedRecallSmoke, SURVEY §8.4.8;
     * 12k planted true pairs per run, SCALE-STABLE across 0.2M/0.4M/1M
-    * vectors): pair-level miss ≈ 0.02–0.04 at cos ≥ 0.9995, ≈ 0.06–0.09
-    * at cos ≈ 0.9985, ≈ 0.15–0.20 at cos ≈ 0.99, ≈ ⅓ at cos ≈ 0.97 —
-    * the route is a NEAR-VERBATIM pair miner, not a general cos ≥ t
-    * scorer. Misses are geometric, not random: a pair whose base sits
-    * in the bottom margin decile (top-2 centroid cosine gap ≤ ~0.004 —
-    * ON the Voronoi boundary) misses at ~0.46 while the top decile
-    * misses at ~0.02, and interior near-verbatim pairs at < 0.005. The
-    * top-40 OPERATOR contract held 39/40 (0.2M) and 40/40 (0.4M)
-    * against the exact route at 224× less wall.
+    * vectors). WITHOUT boundary probing (probeMargin = 0): pair-level
+    * miss ≈ 0.02–0.04 at cos ≥ 0.9995, ≈ 0.06–0.09 at cos ≈ 0.9985,
+    * ≈ 0.15–0.20 at cos ≈ 0.99, ≈ ⅓ at cos ≈ 0.97. Misses are
+    * geometric, not random: a pair whose base sits in the bottom
+    * margin decile (top-2 centroid cosine gap ≤ ~0.004 — ON the
+    * Voronoi boundary) misses at ~0.46 while the top decile misses at
+    * ~0.02, and interior near-verbatim pairs at < 0.005. That geometry
+    * is why the DEFAULT boundary multi-probe (probeMargin = 0.01, see
+    * [[graft.functions.Similarity.ivfProbedParts]]) works: replicating
+    * the 22% of vectors nearest a boundary into their second cell
+    * drops the measured miss to 0 of 2000 at cos ≥ 0.9996, 7/2000 at
+    * 0.9985, 0.054 at 0.99 (0.4M and 1M vectors) — at whole-operator
+    * wall PARITY (med 20.4 s probed vs 21.2 s unprobed, 1M vectors).
+    * Even unprobed, the top-40 OPERATOR contract held 39/40 (0.2M) and
+    * 40/40 (0.4M) against the exact route at 224× less wall; the
+    * probed pair set is a strict superset.
     *
     * Zero-norm vectors are excluded in both routes (undefined cosine;
     * NaN would top the ranking), mirrored in the oracle. */
@@ -766,10 +777,33 @@ object Dedup {
       // full of its top pairs (pinned in FunctionsSpec on a 300-dup
       // blob). Cells under the cap get shards = 1: behavior unchanged.
       val a = embedCells(spark, dir, cellCap)
-      a.alias("a").join(a.alias("b"),
-          col("a.cluster") === col("b.cluster") &&
+      // under boundary multi-probe a pair can co-reside in BOTH its
+      // cells; score it only in the min-valued common cell (both sides
+      // compute the same min — deterministic, no distinct needed, so
+      // the scored stream still flows straight into TakeOrdered). With
+      // ≤2 cells per vector, "this cell is the min common cell" is
+      // pure scalar logic: a smaller common cell exists iff both
+      // sides' OTHER cell is the same one and sorts below this one —
+      // no array allocation per candidate pair (the array_intersect
+      // form measured 2.7× on the operator at 1M vectors).
+      val sameCellOnce = {
+        val base = col("a.cluster") === col("b.cluster") &&
           col("a.shard") === col("b.shard") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.vec_id") < col("b.vec_id")
+        if (a.columns.contains("other"))
+          // null-safe equality (<=>), NOT ===: an unreplicated b side
+          // has other = null, and (long === null) is SQL-null, which
+          // would null the whole conjunction and silently DROP a pair
+          // that must be scored; (5 <=> null) is plain false. The
+          // leading isNotNull makes the both-null case (neither side
+          // replicated, where null <=> null = true) short out to
+          // false before the <=> runs.
+          base && !(col("a.other").isNotNull &&
+            (col("a.other") <=> col("b.other")) &&
+            col("a.other") < col("a.cluster"))
+        else base
+      }
+      a.alias("a").join(a.alias("b"), sameCellOnce)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           FastRound.round4(VectorOps.dot(col("a.v"), col("b.v")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
@@ -803,10 +837,13 @@ object Dedup {
       Some(s"dd_embed_cosine over $nVecs vectors routes BUCKETED " +
         s"(exactMax=$exactMax): pairs score within IVF cells only. " +
         "Measured pair-level miss (scale-stable through 1M vectors, " +
-        "SURVEY 8.4.8): ~2-4% at cos>=0.9995, ~15-20% at cos~0.99, " +
-        "concentrated on cell boundaries; the top-40 contract measured " +
-        "39-40/40 vs the exact route. For exhaustive pair mining raise " +
-        "graft.embedCosine.exactMax knowingly (N^2/2 dot products).")
+        "SURVEY 8.4.8) under the default boundary multi-probe " +
+        "(graft.embedCosine.probeMargin=0.01): 0/2000 planted pairs at " +
+        "cos>=0.9996, ~5% at cos~0.99; top-40 contract measured " +
+        "39-40/40 vs the exact route. probeMargin=0 reverts to " +
+        "single-cell assignment (~2-4% miss at cos>=0.9995). For " +
+        "exhaustive pair mining raise graft.embedCosine.exactMax " +
+        "knowingly (N^2/2 dot products).")
     else None
 
   /** The bucketed embed route's cell assignment — (vec_id, v, nrm,
@@ -824,8 +861,23 @@ object Dedup {
     * the N×√N assignment pass runs exactly once. */
   private[graft] def embedCells(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame = {
+    // graft.embedCosine.probeMargin > 0 (DEFAULT 0.01) turns on
+    // boundary multi-probe (Similarity.ivfProbedParts): vectors within
+    // that top-2 centroid margin of a Voronoi boundary join BOTH
+    // cells, and the route's pair join de-duplicates by
+    // min-common-cell. Default ON at the §8.4.8-measured point: 0.01
+    // replicates 1.22× rows, zeroes the measured near-verbatim miss
+    // (2000/2000 planted pairs at cos ≥ 0.9996 recovered at 0.4M and
+    // 1M vectors vs 1.8–3.7% missed unprobed), and the whole-operator
+    // wall measured AT PARITY at 1M vectors (med 20.4 s vs 21.2 s —
+    // the min-common conjunct is scalar codegen, no per-pair
+    // allocation). Set 0 for the round-≤11 single-assignment plan.
+    val pm = confDouble(spark, "graft.embedCosine.probeMargin", 0.01)
+    val assigned =
+      if (pm > 0) Similarity.ivfProbedParts(spark, dir, pm)
+      else Similarity.ivfParts(spark, dir)._3
     val byCell = Window.partitionBy("cluster")
-    Similarity.ivfParts(spark, dir)._3
+    assigned
       .repartition(col("cluster"))
       .withColumn("shards",
         ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))

@@ -213,6 +213,64 @@ object Similarity {
     (e, cents, assigned)
   }
 
+  /** Boundary multi-probe variant of [[ivfParts]]'s assignment: a
+    * vector whose top-2 centroid cosine gap is ≤ `probeMargin` — i.e.
+    * it sits ON a Voronoi boundary — is assigned to BOTH cells; every
+    * other vector to its nearest cell only, exactly as before. Output
+    * adds a `cells` column (this row's vector's full ≤2-cell set,
+    * ordered by proximity) so a within-cell pair join can de-duplicate
+    * doubly-co-resident pairs by a deterministic min-common-cell rule.
+    *
+    * Motivation is §8.4.8's measurement: the bucketed embed route's
+    * misses are ENTIRELY cluster splits of boundary-seated pairs (the
+    * bottom top-2-margin decile misses at ~0.46, the interior at
+    * ~0.003), so replicating only the boundary population buys back
+    * most of the miss mass for a corpus-fraction-bounded increase in
+    * pair work (the margin quantiles in §8.4.8 ARE the cost dial:
+    * probeMargin ≈ d2's 0.009 replicates ~20% of vectors).
+    *
+    * Same plan skeleton as [[ivfParts]] — slim (vec_id, c_cos, c_id)
+    * stream into an ObjectHashAggregate topk(2), vectors recovered by a
+    * vec_id join against the same spread exchange (ReusedExchange) —
+    * so the assignment pass still runs once and nothing new shuffles
+    * vector payloads. */
+  private[graft] def ivfProbedParts(spark: SparkSession, dir: String,
+      probeMargin: Double): DataFrame = {
+    val (e, cents, _) = ivfParts(spark, dir)
+    val eSpread = spread(e)
+    val top2 = eSpread.join(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"),
+        col("c_id"))
+      .groupBy("vec_id")
+      .agg(TopKAgg.topk(col("c_cos"), col("c_id"), 2).as("tk"))
+      .select(col("vec_id"), get(col("tk"), lit(0)).getField("id").as("c1"),
+        // second cell only when it exists AND the gap is inside the
+        // probe margin; get() yields null past the array end, and a
+        // null score propagates to a null c2 (no replication) — the
+        // min_by-style semantics of the k = 1 path
+        when(get(col("tk"), lit(0)).getField("score") -
+            get(col("tk"), lit(1)).getField("score") <= probeMargin,
+          get(col("tk"), lit(1)).getField("id")).as("c2"))
+    // each replicated row carries its OTHER cell (null when the vector
+    // was not replicated) as a plain nullable scalar, NOT a cell array:
+    // the pair join's min-common-cell rule over ≤2-cell sets reduces to
+    // scalar comparisons (see ddEmbedCosine), keeping the per-pair
+    // conjunct allocation-free inside codegen — an array_intersect
+    // formulation measured 2.7× on the whole operator at 1M vectors
+    val withCells = top2
+      .select(col("vec_id"),
+        explode(when(col("c2").isNotNull, array(col("c1"), col("c2")))
+          .otherwise(array(col("c1")))).as("cluster"),
+        col("c1"), col("c2"))
+      .select(col("vec_id"), col("cluster"),
+        when(col("cluster") === col("c1"), col("c2"))
+          .otherwise(col("c1")).as("other"))
+    eSpread.join(withCells, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        col("other"))
+  }
+
   /** Achievable-recall floor for the aggregate assert in
     * [[ssIvfRecall]], CORPUS-AWARE (round 11; measured, SURVEY §8.4.6
     * tail): a flat 0.8 floor is only achievable where the probed

@@ -228,6 +228,65 @@ class KnobsSpec extends AnyFunSuite {
     assert(Dedup.embedRouteAdvisory(2000L, 65536L).isEmpty)
   }
 
+  test("graft.embedCosine.probeMargin replicates boundary vectors without pair dupes") {
+    // §8.4.8 follow-up: the bucketed route's misses are boundary
+    // cluster splits, so probeMargin > 0 (default 0.01, the measured
+    // zero-near-verbatim-miss point at wall parity) assigns low-margin
+    // vectors to their top-2 cells and de-duplicates doubly-co-resident
+    // pairs by min-common-cell. Pins: (1) the default carries the
+    // `other` cell column; 0 disables — schema and plan revert to the
+    // ≤r11 single-assignment shape (no min-common conjunct); (2) margin
+    // 2.0 (≥ any cosine gap) replicates every vector with a second cell
+    // and the top-40 still contains NO duplicate pair — the
+    // min-common-cell rule, not a distinct, guarantees it; (3) a
+    // planted near-identical pair set stays fully recalled.
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val base = (0 until 400).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    val partners = base.take(20).map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val d = java.nio.file.Files.createTempDirectory("knob-probe").toString
+    (base ++ partners).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    assert(Dedup.embedCells(spark, d, 4096L).columns.contains("other"),
+      "default must carry the boundary-probe cell schema")
+    withConf("graft.embedCosine.probeMargin" -> "0") {
+      val off = Dedup.embedCells(spark, d, 4096L)
+      assert(!off.columns.contains("other"),
+        "probeMargin=0 must revert the cell schema")
+      withConf("graft.embedCosine.exactMax" -> "0") {
+        assert(!Dedup.ddEmbedCosine(spark, d).queryExecution.optimizedPlan
+          .toString.contains("<=>"),
+          "probeMargin=0 must not add the min-common-cell conjunct")
+      }
+    }
+
+    withConf("graft.embedCosine.probeMargin" -> "2.0",
+        "graft.embedCosine.exactMax" -> "0") {
+      val cells = Dedup.embedCells(spark, d, 4096L)
+      assert(cells.columns.contains("other"))
+      val n = 420L
+      assert(cells.count() == 2 * n,
+        "margin 2.0 must replicate every vector into its top-2 cells")
+      val rows = Dedup.ddEmbedCosine(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val pairs = rows.map(t => (t._1, t._2))
+      assert(pairs.distinct.length == pairs.length,
+        s"min-common-cell rule must prevent duplicate pairs: " +
+          s"${pairs.groupBy(identity).filter(_._2.length > 1).keys.take(3)}")
+      // all 20 planted near-identical pairs dominate the ranking and
+      // full replication heals any boundary straddle
+      val planted = rows.count(t => t._2 == t._1 + 1000L)
+      assert(planted == 20, s"expected all 20 planted pairs in top-40, " +
+        s"got $planted: ${rows.take(10).toSeq}")
+    }
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is
