@@ -70,9 +70,19 @@ object Bench {
       val ps = Vector.fill(3) { val s = sentinel(); (s, pass()) }
       (ps, ps.map(_._1) :+ sentinel())
     }
+    // The 0.35 idle constant was calibrated on the r6–8 host. Round 12
+    // re-measured it: three attempts on a load-< 1 box (no concurrent
+    // sweeps, sync'd, 7+ min settle) read sentinel-min 0.402 / 0.414 /
+    // 0.428 — the HOST drifted ~20% at this granularity, not the code
+    // (whole-suite totals sat at r10/r11 parity, 21.3 vs 21.0–21.1).
+    // BENCH_SENTINEL_MAX recalibrates without a code change; the
+    // default stays 0.35 so a drift back to the faster host state
+    // re-tightens the guard automatically.
+    val sentinelMax = sys.env.get("BENCH_SENTINEL_MAX")
+      .map(_.toDouble).getOrElse(0.35)
     var best = attempt()
     var tries = 1
-    while (best._2.min > 0.35 && tries < 3) {
+    while (best._2.min > sentinelMax && tries < 3) {
       System.err.println(
         f"[bench] best of $tries attempt(s) still contended (sentinel-min ${best._2.min}%.3f > 0.35) — retrying")
       val a = attempt()
@@ -80,9 +90,10 @@ object Bench {
       if (a._2.min < best._2.min) best = a
       tries += 1
     }
-    if (best._2.min > 0.35)
+    if (best._2.min > sentinelMax)
       System.err.println(f"[bench] WARNING: all $tries attempts contended — " +
-        f"shipping best (sentinel-min ${best._2.min}%.3f); treat totals as hot")
+        f"shipping best (sentinel-min ${best._2.min}%.3f > $sentinelMax); " +
+        "treat totals as hot")
     val (passes, sentinels) = best
     val results = SparkEntry.queries.keys.map { k =>
       k -> passes.flatMap(_._2(k)).minOption }.toMap

@@ -52,9 +52,29 @@ object EmbedRecallSmoke {
     // value (incl. 0 = off) pins the conf for A/B runs
     val probeMargin = args.lift(3).map(_.toDouble)
     val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
-    val spark = Graft.sessionBuilder().master("local[32]")
+    // SCALE_SMOKE_MASTER=local-cluster[4,8,7168] runs the probed pair
+    // join under REAL multi-executor shuffle (the ScaleSmoke protocol —
+    // executor JVMs need this process's classpath + JDK-17 opens)
+    val master = sys.env.getOrElse("SCALE_SMOKE_MASTER", "local[32]")
+    val builder = Graft.sessionBuilder().master(master)
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", opens)
+        .config("spark.executor.memory", "7g")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val big = "target/embed-recall-smoke"
