@@ -69,8 +69,16 @@ object EmbedRecallSmoke {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar")
         .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      // graft classes ship as a USER JAR (spark.jars), NOT via
+      // spark.executor.extraClassPath: with app classes on the executor
+      // SYSTEM classpath, Spark 4.1.2 task deserialization breaks the
+      // moment a graft expression rides a serialized plan fragment
+      // (SURVEY §8.4.10; ClusterSmoke scaladoc has the full story).
+      val jar = "target/scala-2.13/datapipelinesworkerspark_2.13-0.1.0.jar"
+      require(new java.io.File(jar).exists(),
+        s"$jar missing — run `sbt package` before a local-cluster run")
       builder
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.jars", jar)
         .config("spark.executor.extraJavaOptions", opens)
         .config("spark.executor.memory", "7g")
     }
@@ -79,6 +87,16 @@ object EmbedRecallSmoke {
     val src = "/root/testdata/sf0.1"
     val big = "target/embed-recall-smoke"
     val amps = Seq(0.005, 0.01, 0.02, 0.05, 0.1, 0.2)
+    // EMBED_SMOKE_REUSE=1 skips corpus regeneration when the dirs
+    // exist (the generator is deterministic, so reuse is exact). Also
+    // the local-cluster escape hatch: the generator's nested-add noise
+    // expression optimizes to a MultiCommutativeOp whose operand Seq
+    // trips a JDK-serialization ClassCastException on executor JVMs
+    // (local[32] never serializes plans) — generate under local[32],
+    // measure under local-cluster.
+    val reuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
+      new java.io.File(s"$big/embeddings.parquet").exists() &&
+      new java.io.File(s"$big/pairs").exists()
 
     // -- background: the RecallSmoke generator ------------------------
     val e = Tables.t(spark, src, "embeddings")
@@ -117,11 +135,14 @@ object EmbedRecallSmoke {
             .cast("float")).as("embedding"),
         // label is INTEGER in the source schema; -1 marks planted rows
         lit(-1).cast("int").as("label"))
-    partners.select("tier", "base_id", "vec_id")
-      .withColumnRenamed("vec_id", "partner_id")
-      .write.mode("overwrite").parquet(s"$big/pairs")
-    bg.unionByName(partners.select("vec_id", "embedding", "label"))
-      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    if (!reuse) {
+      partners.select("tier", "base_id", "vec_id")
+        .withColumnRenamed("vec_id", "partner_id")
+        .write.mode("overwrite").parquet(s"$big/pairs")
+      bg.unionByName(partners.select("vec_id", "embedding", "label"))
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    } else println("corpus REUSED (EMBED_SMOKE_REUSE=1) — factor arg " +
+      "must match the generating run")
     val nVecs = Tables.footerRowCount(spark, big, "embeddings")
     println(s"corpus: $nVecs vectors (${factor}x background = $nBg + " +
       s"${amps.size}x$nPlant planted partners)" +

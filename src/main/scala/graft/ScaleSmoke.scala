@@ -56,8 +56,18 @@ object ScaleSmoke {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar")
         .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      // app classes ship as a USER JAR (spark.jars → the executor's
+      // user classloader, the spark-submit --jars shape). The r10/r11
+      // runs used spark.executor.extraClassPath and got away with it
+      // because the ngram/events plans never serialize graft expression
+      // trees into tasks; the embed/IVF family DOES, and with app
+      // classes on the executor SYSTEM classpath Spark 4.1.2 task
+      // deserialization fails (SURVEY §8.4.10, ClusterSmoke scaladoc).
+      val jar = "target/scala-2.13/datapipelinesworkerspark_2.13-0.1.0.jar"
+      require(new java.io.File(jar).exists(),
+        s"$jar missing — run `sbt package` before a local-cluster run")
       builder
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.jars", jar)
         .config("spark.executor.extraJavaOptions", opens)
         // the bracket's third number is worker CAPACITY; executors
         // default to 1g and would measure spill, not shuffle (the r10
