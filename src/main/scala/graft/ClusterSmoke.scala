@@ -38,9 +38,7 @@ object ClusterSmoke {
     val dir = args.headOption.getOrElse("target/embed-recall-smoke")
     val master = sys.env.getOrElse("SCALE_SMOKE_MASTER",
       "local-cluster[4,8,7168]")
-    val jar = "target/scala-2.13/datapipelinesworkerspark_2.13-0.1.0.jar"
-    require(new java.io.File(jar).exists(),
-      s"$jar missing — run `sbt package` first (spark.jars deployment)")
+    val jar = ClusterJar.resolve()
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",

@@ -74,9 +74,7 @@ object EmbedRecallSmoke {
       // SYSTEM classpath, Spark 4.1.2 task deserialization breaks the
       // moment a graft expression rides a serialized plan fragment
       // (SURVEY §8.4.10; ClusterSmoke scaladoc has the full story).
-      val jar = "target/scala-2.13/datapipelinesworkerspark_2.13-0.1.0.jar"
-      require(new java.io.File(jar).exists(),
-        s"$jar missing — run `sbt package` before a local-cluster run")
+      val jar = ClusterJar.resolve()
       builder
         .config("spark.jars", jar)
         .config("spark.executor.extraJavaOptions", opens)
@@ -155,7 +153,8 @@ object EmbedRecallSmoke {
     val rawCells = Dedup.embedCells(spark, big, 4096L)
     val cells = rawCells
       .select((Seq("vec_id", "cluster", "shard") ++
-        (if (rawCells.columns.contains("other")) Seq("other") else Nil))
+        (if (rawCells.columns.contains("other"))
+          Seq("other", "otherShard") else Nil))
         .map(col): _*)
       .cache()
     val nRows = cells.count()
@@ -176,23 +175,30 @@ object EmbedRecallSmoke {
     // under boundary multi-probe (probeMargin > 0) a vector can occupy
     // two cells — join all rows per side and aggregate per pair: the
     // route scores the pair iff some row combo satisfies its own join
-    // condition (same cell+shard AND that cell is the min-common cell).
-    // With probing off, cellsX = [cluster] and this reduces exactly to
-    // the single-row semantics.
+    // condition, mirrored from Dedup.scoreOnceCond — same
+    // (cluster, shard), minus the shard-aware defer to a smaller
+    // common cell (skip only when the pair is ALSO same-shard there).
+    // With probing off, the o/os columns are absent and this reduces
+    // exactly to the single-row same-(cluster, shard) semantics.
+    val probed = cells.columns.contains("other")
     def sideRows(idCol: String, p: String) = cells.select(
-      col("vec_id").as(idCol), col("cluster").as(s"c$p"),
-      col("shard").as(s"s$p"),
-      (if (cells.columns.contains("other"))
-        when(col("other").isNotNull, array(col("cluster"), col("other")))
-          .otherwise(array(col("cluster")))
-      else array(col("cluster"))).as(s"cells$p"))
+      (Seq(col("vec_id").as(idCol), col("cluster").as(s"c$p"),
+        col("shard").as(s"s$p")) ++
+        (if (probed)
+          Seq(col("other").as(s"o$p"), col("otherShard").as(s"os$p"))
+        else Nil)): _*)
     val measured = withCos
       .join(sideRows("base_id", "a"), Seq("base_id"), "left")
       .join(sideRows("partner_id", "b"), Seq("partner_id"), "left")
       .withColumn("rowMeasured", col("ca").isNotNull && col("cb").isNotNull)
       .withColumn("rowCommon", col("rowMeasured") && col("ca") === col("cb"))
+      .withColumn("rowSkip",
+        if (probed)
+          col("oa").isNotNull && (col("oa") <=> col("ob")) &&
+            col("oa") < col("ca") && (col("osa") <=> col("osb"))
+        else lit(false))
       .withColumn("rowHit", col("rowCommon") && col("sa") === col("sb") &&
-        col("ca") === array_min(array_intersect(col("cellsa"), col("cellsb"))))
+        !col("rowSkip"))
       .groupBy("tier", "base_id", "partner_id", "cos")
       .agg(max(col("rowMeasured")).as("m"), max(col("rowCommon")).as("common"),
         max(col("rowHit")).as("hit"))

@@ -63,9 +63,7 @@ object ScaleSmoke {
       // trees into tasks; the embed/IVF family DOES, and with app
       // classes on the executor SYSTEM classpath Spark 4.1.2 task
       // deserialization fails (SURVEY §8.4.10, ClusterSmoke scaladoc).
-      val jar = "target/scala-2.13/datapipelinesworkerspark_2.13-0.1.0.jar"
-      require(new java.io.File(jar).exists(),
-        s"$jar missing — run `sbt package` before a local-cluster run")
+      val jar = ClusterJar.resolve()
       builder
         .config("spark.jars", jar)
         .config("spark.executor.extraJavaOptions", opens)

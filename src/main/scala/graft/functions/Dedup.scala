@@ -713,8 +713,14 @@ object Dedup {
     * 0.9985, 0.054 at 0.99 (0.4M and 1M vectors) — at whole-operator
     * wall PARITY (med 20.4 s probed vs 21.2 s unprobed, 1M vectors).
     * Even unprobed, the top-40 OPERATOR contract held 39/40 (0.2M) and
-    * 40/40 (0.4M) against the exact route at 224× less wall; the
-    * probed pair set is a strict superset.
+    * 40/40 (0.4M) against the exact route at 224× less wall. The
+    * probed pair set covers every pair sharing any (cluster, shard) —
+    * the shard-aware defer in [[scoreOnceCond]] guarantees it — which
+    * is a superset of the unprobed set UNLESS the probe's ~1.22× row
+    * replication pushes a mega-cell's population across a cellCap
+    * multiple and the re-shard splits a formerly co-resident pair
+    * (only cells already past ~4096 members can be affected, and a
+    * mega-cell's pairs are near-uniform by construction).
     *
     * Zero-norm vectors are excluded in both routes (undefined cosine;
     * NaN would top the ranking), mirrored in the oracle. */
@@ -777,33 +783,8 @@ object Dedup {
       // full of its top pairs (pinned in FunctionsSpec on a 300-dup
       // blob). Cells under the cap get shards = 1: behavior unchanged.
       val a = embedCells(spark, dir, cellCap)
-      // under boundary multi-probe a pair can co-reside in BOTH its
-      // cells; score it only in the min-valued common cell (both sides
-      // compute the same min — deterministic, no distinct needed, so
-      // the scored stream still flows straight into TakeOrdered). With
-      // ≤2 cells per vector, "this cell is the min common cell" is
-      // pure scalar logic: a smaller common cell exists iff both
-      // sides' OTHER cell is the same one and sorts below this one —
-      // no array allocation per candidate pair (the array_intersect
-      // form measured 2.7× on the operator at 1M vectors).
-      val sameCellOnce = {
-        val base = col("a.cluster") === col("b.cluster") &&
-          col("a.shard") === col("b.shard") &&
-          col("a.vec_id") < col("b.vec_id")
-        if (a.columns.contains("other"))
-          // null-safe equality (<=>), NOT ===: an unreplicated b side
-          // has other = null, and (long === null) is SQL-null, which
-          // would null the whole conjunction and silently DROP a pair
-          // that must be scored; (5 <=> null) is plain false. The
-          // leading isNotNull makes the both-null case (neither side
-          // replicated, where null <=> null = true) short out to
-          // false before the <=> runs.
-          base && !(col("a.other").isNotNull &&
-            (col("a.other") <=> col("b.other")) &&
-            col("a.other") < col("a.cluster"))
-        else base
-      }
-      a.alias("a").join(a.alias("b"), sameCellOnce)
+      a.alias("a").join(a.alias("b"),
+          scoreOnceCond(a.columns.contains("other")))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           FastRound.round4(VectorOps.dot(col("a.v"), col("b.v")) /
             (col("a.nrm") * col("b.nrm"))).as("cos"))
@@ -824,6 +805,50 @@ object Dedup {
               concat(lit("embed invariant violated: |cos| > 1: "), col("cos"))),
             col("cos")).as("cos"))
     }
+  }
+
+  /** The bucketed route's score-exactly-once join condition over the
+    * `a`/`b` aliases of [[embedCells]] output. Unprobed: plain
+    * same-(cluster, shard) with `vec_id` ordering. Under boundary
+    * multi-probe a pair can co-reside in BOTH its cells; score it in
+    * the min-valued common cell WHERE IT IS SCORABLE (both sides
+    * compute the same answer — deterministic, no distinct needed, so
+    * the scored stream still flows straight into TakeOrdered). With
+    * ≤2 cells per vector, "defer to a smaller common cell" is pure
+    * scalar logic: a smaller common cell exists iff both sides' OTHER
+    * cell is the same one and sorts below this one — no array
+    * allocation per candidate pair (the array_intersect form measured
+    * 2.7× on the operator at 1M vectors).
+    *
+    * The `otherShard` conjunct (round 13) makes the defer SHARD-AWARE:
+    * if the smaller common cell is a hash-split mega-cell and the pair
+    * lands in different shards there, it is NOT scorable there, so
+    * this cell must keep it — without that term a pair co-resident in
+    * a (cluster, shard) here but split in its other, smaller cell was
+    * skipped in both and silently lost, and duplicate blobs (the very
+    * thing mega-cells are made of) are where that bites. With it, a
+    * pair is scored exactly once iff it shares ANY (cluster, shard):
+    * in its min common cell when same-shard there, else here.
+    *
+    * Null-safe equality (<=>), NOT ===: an unreplicated b side has
+    * other = null, and (long === null) is SQL-null, which would null
+    * the whole conjunction and silently DROP a pair that must be
+    * scored; (5 <=> null) is plain false. The leading isNotNull makes
+    * the both-null case (neither side replicated, where
+    * null <=> null = true) short out to false before the <=> runs.
+    * When `a.other <=> b.other` holds non-null, both otherShards are
+    * non-null too (computed whenever other is), so <=> on them is
+    * exact same-shard-in-the-other-cell. */
+  private[graft] def scoreOnceCond(probed: Boolean): Column = {
+    val base = col("a.cluster") === col("b.cluster") &&
+      col("a.shard") === col("b.shard") &&
+      col("a.vec_id") < col("b.vec_id")
+    if (probed)
+      base && !(col("a.other").isNotNull &&
+        (col("a.other") <=> col("b.other")) &&
+        col("a.other") < col("a.cluster") &&
+        (col("a.otherShard") <=> col("b.otherShard")))
+    else base
   }
 
   /** The §8.4.8 route advisory: when the corpus size routes the top-40
@@ -855,10 +880,12 @@ object Dedup {
     * top-40 truncation in the way.
     *
     * The explicit cluster-key repartition is the materialization point
-    * that the cell-count window consumes and both self-join sides read
-    * back (ReusedExchange; partitioning by `cluster` alone still
-    * satisfies the (cluster, shard) join's clustered distribution) —
-    * the N×√N assignment pass runs exactly once. */
+    * both self-join sides read back (ReusedExchange; partitioning by
+    * `cluster` alone still satisfies the (cluster, shard) join's
+    * clustered distribution) — the N×√N assignment pass runs exactly
+    * once. On the unprobed path the cell-count window consumes the
+    * same exchange; the probed path computes shard AND otherShard on
+    * the slim pre-payload stream inside ivfProbedParts instead. */
   private[graft] def embedCells(spark: SparkSession, dir: String,
       cellCap: Long): DataFrame = {
     // graft.embedCosine.probeMargin > 0 (DEFAULT 0.01) turns on
@@ -873,16 +900,24 @@ object Dedup {
     // the min-common conjunct is scalar codegen, no per-pair
     // allocation). Set 0 for the round-≤11 single-assignment plan.
     val pm = confDouble(spark, "graft.embedCosine.probeMargin", 0.01)
-    val assigned =
-      if (pm > 0) Similarity.ivfProbedParts(spark, dir, pm)
-      else Similarity.ivfParts(spark, dir)._3
-    val byCell = Window.partitionBy("cluster")
-    assigned
-      .repartition(col("cluster"))
-      .withColumn("shards",
-        ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
-      .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
-      .drop("shards")
+    if (pm > 0)
+      // shard + otherShard (the scoreOnceCond shard-aware-defer input)
+      // are computed on the slim pre-payload stream inside
+      // ivfProbedParts — see its scaladoc for why a payload-side
+      // window + count-aggregate pair re-runs the assignment pass.
+      // The explicit cluster-key repartition stays the materialization
+      // point both self-join sides read back (ReusedExchange).
+      Similarity.ivfProbedParts(spark, dir, pm, cellCap)
+        .repartition(col("cluster"))
+    else {
+      val byCell = Window.partitionBy("cluster")
+      Similarity.ivfParts(spark, dir)._3
+        .repartition(col("cluster"))
+        .withColumn("shards",
+          ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
+        .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
+        .drop("shards")
+    }
   }
 
   /** Benchmark decontamination: flag documents sharing any 3-gram with

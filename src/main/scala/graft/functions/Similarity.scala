@@ -160,9 +160,18 @@ object Similarity {
     * → one scan + one reused broadcast, pinned in PlanSpec). */
   private[graft] def ivfParts(spark: SparkSession, dir: String,
       knownVecs: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
+    // the explicit isnotnull(vec_id) matters for PLAN IDENTITY, not
+    // semantics (every consumer joins/groups on vec_id, so null rows
+    // are dead weight anyway): downstream inner joins on vec_id push
+    // an INFERRED isnotnull into some consumers' scans but not others
+    // (ivfProbedParts's cell-count branch never rejoins vec_id), and
+    // that one-conjunct leaf difference breaks exchange reuse — the
+    // whole N×√N assignment pass would run once per consumer
+    // (PlanSpec's ≤2-scan guard caught it).
     val e = nonZero(t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v"))))
+      .where(col("vec_id").isNotNull)
     // Corpus size from parquet footer metadata — the previous e.count()
     // here was a full extra pass over the table before the real job.
     // Callers that already swept the footers pass the count through
@@ -217,9 +226,11 @@ object Similarity {
     * vector whose top-2 centroid cosine gap is ≤ `probeMargin` — i.e.
     * it sits ON a Voronoi boundary — is assigned to BOTH cells; every
     * other vector to its nearest cell only, exactly as before. Output
-    * adds a `cells` column (this row's vector's full ≤2-cell set,
-    * ordered by proximity) so a within-cell pair join can de-duplicate
-    * doubly-co-resident pairs by a deterministic min-common-cell rule.
+    * adds a scalar nullable `other` column — the row's OTHER cell id
+    * (null when the vector was not replicated) — so a within-cell pair
+    * join can de-duplicate doubly-co-resident pairs by a deterministic
+    * min-common-cell rule with scalar comparisons only (see
+    * [[graft.functions.Dedup.scoreOnceCond]]).
     *
     * Motivation is §8.4.8's measurement: the bucketed embed route's
     * misses are ENTIRELY cluster splits of boundary-seated pairs (the
@@ -233,9 +244,21 @@ object Similarity {
     * stream into an ObjectHashAggregate topk(2), vectors recovered by a
     * vec_id join against the same spread exchange (ReusedExchange) —
     * so the assignment pass still runs once and nothing new shuffles
-    * vector payloads. */
+    * vector payloads.
+    *
+    * `cellCap` (the caller's mega-cell member cap) pulls the
+    * within-cell hash-split HERE, onto the slim pre-payload stream:
+    * per-cell populations come from a groupBy over the ≤2-cells-a-row
+    * assignment (tiny: #cells ≈ 2√N rows, broadcast back twice — once
+    * on `cluster` for the row's own shard, once on `other` for its
+    * shard IN ITS OTHER CELL, the [[graft.functions.Dedup
+    * .scoreOnceCond]] shard-aware-defer input). Computing shards on
+    * this slim stream instead of a payload-side window matters for
+    * the plan: a separate count aggregate over the payload stream
+    * prunes differently below its exchange and re-runs the whole
+    * N×√N assignment pass (a third scan — caught by PlanSpec). */
   private[graft] def ivfProbedParts(spark: SparkSession, dir: String,
-      probeMargin: Double): DataFrame = {
+      probeMargin: Double, cellCap: Long): DataFrame = {
     val (e, cents, _) = ivfParts(spark, dir)
     val eSpread = spread(e)
     val top2 = eSpread.join(broadcast(cents))
@@ -266,9 +289,23 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         when(col("cluster") === col("c1"), col("c2"))
           .otherwise(col("c1")).as("other"))
-    eSpread.join(withCells, "vec_id")
+    // POST-replication cell populations → shard counts, mirroring the
+    // unprobed path's window rule ceil(cnt / cellCap); a cell under the
+    // cap gets shards = 1 and shard = 0 for every member. An
+    // unreplicated row keeps other/otherShard null (left join miss →
+    // null o_cnt → null pmod).
+    val cnts = withCells.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+    def shardOf(cnt: Column): Column =
+      pmod(xxhash64(col("vec_id")), ceil(cnt / lit(cellCap.toDouble)).cast("long"))
+    val slim = withCells
+      .join(broadcast(cnts), "cluster")
+      .join(broadcast(cnts.select(col("cluster").as("o_cl"),
+        col("cnt").as("o_cnt"))), col("other") === col("o_cl"), "left")
+      .select(col("vec_id"), col("cluster"), shardOf(col("cnt")).as("shard"),
+        col("other"), shardOf(col("o_cnt")).as("otherShard"))
+    eSpread.join(slim, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
-        col("other"))
+        col("shard"), col("other"), col("otherShard"))
   }
 
   /** Achievable-recall floor for the aggregate assert in

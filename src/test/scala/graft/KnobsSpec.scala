@@ -260,8 +260,16 @@ class KnobsSpec extends AnyFunSuite {
       assert(!off.columns.contains("other"),
         "probeMargin=0 must revert the cell schema")
       withConf("graft.embedCosine.exactMax" -> "0") {
-        assert(!Dedup.ddEmbedCosine(spark, d).queryExecution.optimizedPlan
-          .toString.contains("<=>"),
+        // structural, not string-match: the min-common-cell conjunct
+        // is the only consumer of the probe columns, so the reverted
+        // plan must reference NO attribute named other/otherShard
+        // anywhere (robust to how Spark prints operators and to
+        // null-safe equality appearing elsewhere for other reasons)
+        val refs = Dedup.ddEmbedCosine(spark, d).queryExecution
+          .optimizedPlan.collect { case p =>
+            p.expressions.flatMap(_.references.map(_.name))
+          }.flatten.toSet
+        assert(!refs.contains("other") && !refs.contains("otherShard"),
           "probeMargin=0 must not add the min-common-cell conjunct")
       }
     }
@@ -285,6 +293,34 @@ class KnobsSpec extends AnyFunSuite {
       assert(planted == 20, s"expected all 20 planted pairs in top-40, " +
         s"got $planted: ${rows.take(10).toSeq}")
     }
+  }
+
+  test("scoreOnceCond defers to a smaller common cell only when same-shard there") {
+    // regression for the round-12 advisory: with probeMargin > 0 a
+    // pair co-resident in a (cluster, shard) here but hash-split in
+    // its other, SMALLER common cell was skipped in both cells and
+    // silently lost (duplicate blobs — exactly where mega-cells come
+    // from — are where that bites). The shard-aware defer keeps it
+    // here; a plainly-deferred pair and an unreplicated pair still
+    // score exactly once each.
+    import spark.implicits._
+    val rows = Seq(
+      // the bug shape: same-shard in cell 5, split (shard 0 vs 1) in
+      // the smaller common cell 3 → must score in 5, exactly once
+      (1L, 5L, 0L, Some(3L), Some(0L)), (1L, 3L, 0L, Some(5L), Some(0L)),
+      (2L, 5L, 0L, Some(3L), Some(1L)), (2L, 3L, 1L, Some(5L), Some(0L)),
+      // healthy defer: same-shard in both 7 and 9 → score in 7 only
+      (11L, 7L, 0L, Some(9L), Some(0L)), (11L, 9L, 0L, Some(7L), Some(0L)),
+      (12L, 7L, 0L, Some(9L), Some(0L)), (12L, 9L, 0L, Some(7L), Some(0L)),
+      // unreplicated pair: null others must short out and score once
+      (21L, 13L, 0L, None, None), (22L, 13L, 0L, None, None))
+      .toDF("vec_id", "cluster", "shard", "other", "otherShard")
+    val scored = rows.alias("a").join(rows.alias("b"),
+        Dedup.scoreOnceCond(probed = true))
+      .select(col("a.vec_id"), col("b.vec_id"), col("a.cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scored == Set((1L, 2L, 5L), (11L, 12L, 7L), (21L, 22L, 13L)),
+      s"score-once set wrong: $scored")
   }
 
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
