@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+# One-command round gate: every piece of evidence a round ships, in
+# dependency order, with a PASS/FAIL line per stage — so "green" is
+# reproducible by anyone (including the judge) with a single command
+# instead of ~5 invocations from memory.
+#
+#   1. test      sbt test (unit + plan guards + edge-corpus oracle gates)
+#   2. sf0.01    Verify dump + DuckDB hash-compare at the driver gate SF
+#   3. sf0.1     the same sweep at 10x (catches corpus-size-dependent
+#                constants; ~10 min)
+#   4. cluster   sbt package + ClusterSmoke on local-cluster[4,8] — the
+#                §8.4.10 multi-executor deserialization regression check
+#   5. bench     the Bench contract line at sf0.1 (written to
+#                target/round_gate/bench.json, NOT BENCH_r*.json — the
+#                driver owns those)
+#
+# Usage: tools/run_round_gates.sh [stage ...]   (default: all stages)
+# Logs per stage under target/round_gate/.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+STAGES=("${@:-test sf001 sf01 cluster bench}")
+[[ $# -eq 0 ]] && STAGES=(test sf001 sf01 cluster bench)
+LOGDIR=target/round_gate
+mkdir -p "$LOGDIR"
+declare -A RESULT
+FAILED=0
+
+run_stage() { # name, command...
+  local name="$1"; shift
+  local t0=$SECONDS
+  echo "=== stage $name: $*"
+  if "$@" >"$LOGDIR/$name.log" 2>&1; then
+    RESULT[$name]="PASS $((SECONDS - t0))s"
+  else
+    RESULT[$name]="FAIL $((SECONDS - t0))s (see $LOGDIR/$name.log)"
+    FAILED=1
+  fi
+  echo "--- $name: ${RESULT[$name]}"
+}
+
+stage_test()  { sbt -batch test; }
+stage_sf001() {
+  rm -rf "$LOGDIR/out001"
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $LOGDIR/out001" &&
+    python3 tools/check_correctness.py /root/testdata/sf0.01 "$LOGDIR/out001"
+}
+stage_sf01()   { tools/run_sf01_gate.sh /root/testdata/sf0.1 "$LOGDIR/out01"; }
+stage_cluster() {
+  sbt -batch package &&
+    SCALE_SMOKE_MASTER="local-cluster[4,8,7168]" SPARK_SCALA_VERSION=2.13 \
+      tools/runmain.sh graft.ClusterSmoke /root/testdata/sf0.1 &&
+    ! grep -q FAILED "$LOGDIR/cluster.log"
+}
+stage_bench() {
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    tools/runmain.sh graft.Bench | tee "$LOGDIR/bench.raw" &&
+    grep '"metric"' "$LOGDIR/bench.raw" | tail -1 >"$LOGDIR/bench.json" &&
+    [[ -s "$LOGDIR/bench.json" ]]
+}
+
+for s in ${STAGES[@]}; do
+  case "$s" in
+    test)    run_stage test    stage_test ;;
+    sf001)   run_stage sf001   stage_sf001 ;;
+    sf01)    run_stage sf01    stage_sf01 ;;
+    cluster) run_stage cluster stage_cluster ;;
+    bench)   run_stage bench   stage_bench ;;
+    *) echo "unknown stage: $s (expected test|sf001|sf01|cluster|bench)"; exit 2 ;;
+  esac
+done
+
+echo
+echo "=== round gate summary"
+for s in ${STAGES[@]}; do
+  printf '  %-8s %s\n' "$s" "${RESULT[$s]:-skipped}"
+done
+exit $FAILED
