@@ -710,8 +710,12 @@ object Dedup {
     * [[graft.functions.Similarity.ivfProbedParts]]) works: replicating
     * the 22% of vectors nearest a boundary into their second cell
     * drops the measured miss to 0 of 2000 at cos ≥ 0.9996, 7/2000 at
-    * 0.9985, 0.054 at 0.99 (0.4M and 1M vectors) — at whole-operator
-    * wall PARITY (med 20.4 s probed vs 21.2 s unprobed, 1M vectors).
+    * 0.9985, 0.054 at 0.99 (0.4M through 2M vectors). The probe's
+    * COST is the within-cell replication squared on the pair-scoring
+    * term (~1.48×), diluted by the margin-invariant assignment pass:
+    * measured ~0% at the 2k-vector gate, +12% at 0.4M, +26% med at
+    * 2M, +35–37% at 4M (SURVEY §8.4.8b pricing table) — growing with
+    * the pair-join share toward ~+50% as cells grow with √N.
     * Even unprobed, the top-40 OPERATOR contract held 39/40 (0.2M) and
     * 40/40 (0.4M) against the exact route at 224× less wall. The
     * probed pair set covers every pair sharing any (cluster, shard) —
@@ -896,11 +900,12 @@ object Dedup {
     // cells, and the route's pair join de-duplicates by
     // min-common-cell. Default ON at the §8.4.8-measured point: 0.01
     // replicates 1.22× rows, zeroes the measured near-verbatim miss
-    // (2000/2000 planted pairs at cos ≥ 0.9996 recovered at 0.4M and
-    // 1M vectors vs 1.8–3.7% missed unprobed), and the whole-operator
-    // wall measured AT PARITY at 1M vectors (med 20.4 s vs 21.2 s —
-    // the min-common conjunct is scalar codegen, no per-pair
-    // allocation). Set 0 for the round-≤11 single-assignment plan.
+    // (2000/2000 planted pairs at cos ≥ 0.9996 recovered at 0.4M
+    // through 2M vectors vs 1.8–3.7% missed unprobed), at a measured
+    // wall cost that grows with the pair-join share — ~0% at the gate
+    // SF to +35–37% at 4M vectors (§8.4.8b pricing; the conjunct
+    // itself is scalar codegen — the cost is the replicated pair
+    // scorings). Set 0 for the round-≤11 single-assignment plan.
     val pm = confDouble(spark, "graft.embedCosine.probeMargin", 0.01)
     if (pm > 0)
       // shard + otherShard (the scoreOnceCond shard-aware-defer input)
