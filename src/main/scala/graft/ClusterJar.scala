@@ -33,8 +33,13 @@ object ClusterJar {
       s"$jarPath missing — run `sbt package` first (spark.jars deployment, " +
         "SURVEY 8.4.10: executor extraClassPath is NOT a supported substitute)")
     val cd = new java.io.File(classes)
+    // listFiles is null (not empty) on an unreadable or vanished dir —
+    // degrade to the dir's own mtime rather than NPE out of the loud,
+    // explanatory failure this helper exists to give
     def newest(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified +: f.listFiles.map(newest)).max
+      if (f.isDirectory)
+        (f.lastModified +: Option(f.listFiles).getOrElse(Array.empty)
+          .map(newest)).max
       else f.lastModified
     if (cd.isDirectory && newest(cd) > jar.lastModified)
       throw new IllegalStateException(

@@ -19,8 +19,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-STAGES=("${@:-test sf001 sf01 cluster bench}")
-[[ $# -eq 0 ]] && STAGES=(test sf001 sf01 cluster bench)
+if [[ $# -gt 0 ]]; then STAGES=("$@"); else STAGES=(test sf001 sf01 cluster bench); fi
 LOGDIR=target/round_gate
 mkdir -p "$LOGDIR"
 declare -A RESULT
@@ -47,10 +46,16 @@ stage_sf001() {
 }
 stage_sf01()   { tools/run_sf01_gate.sh /root/testdata/sf0.1 "$LOGDIR/out01"; }
 stage_cluster() {
+  # the smoke's own output goes to a dedicated file (NOT the in-flight
+  # $LOGDIR/cluster.log this function's stdout is being redirected to —
+  # grepping that relied on flush ordering)
   sbt -batch package &&
     SCALE_SMOKE_MASTER="local-cluster[4,8,7168]" SPARK_SCALA_VERSION=2.13 \
-      tools/runmain.sh graft.ClusterSmoke /root/testdata/sf0.1 &&
-    ! grep -q FAILED "$LOGDIR/cluster.log"
+      tools/runmain.sh graft.ClusterSmoke /root/testdata/sf0.1 \
+      > "$LOGDIR/cluster.out" 2>&1
+  local rc=$?
+  cat "$LOGDIR/cluster.out"
+  [[ $rc -eq 0 ]] && ! grep -q FAILED "$LOGDIR/cluster.out"
 }
 stage_bench() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -59,7 +64,7 @@ stage_bench() {
     [[ -s "$LOGDIR/bench.json" ]]
 }
 
-for s in ${STAGES[@]}; do
+for s in "${STAGES[@]}"; do
   case "$s" in
     test)    run_stage test    stage_test ;;
     sf001)   run_stage sf001   stage_sf001 ;;
@@ -72,7 +77,7 @@ done
 
 echo
 echo "=== round gate summary"
-for s in ${STAGES[@]}; do
+for s in "${STAGES[@]}"; do
   printf '  %-8s %s\n' "$s" "${RESULT[$s]:-skipped}"
 done
 exit $FAILED
