@@ -149,8 +149,16 @@ object EmbedRecallSmoke {
       spark.conf.set("graft.embedCosine.probeMargin", m.toString))
 
     // -- pair-level co-residency over the operator's own cells --------
+    // the cap follows the operator's corpus-aware default (round 14:
+    // max(4096, 4·√N) ceilinged at 16384) so the smoke measures what
+    // ships; EMBED_SMOKE_MAXCELL pins it for A/Bs against the old
+    // fixed 4096 (the §8.4.8b shard-split-onset rows)
+    val cellCap = sys.env.get("EMBED_SMOKE_MAXCELL").map(_.toLong)
+      .getOrElse(Dedup.embedCosineMaxCellDefault(nVecs))
+    println(s"cell cap: $cellCap (corpus-aware default " +
+      s"${Dedup.embedCosineMaxCellDefault(nVecs)})")
     val t0 = System.nanoTime()
-    val rawCells = Dedup.embedCells(spark, big, 4096L)
+    val rawCells = Dedup.embedCells(spark, big, cellCap)
     val cells = rawCells
       .select((Seq("vec_id", "cluster", "shard") ++
         (if (rawCells.columns.contains("other"))

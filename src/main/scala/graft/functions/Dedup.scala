@@ -37,10 +37,13 @@ object Dedup {
     *    wide band tables replace the 16-bit chunk tables
     *  - `graft.embedCosine.exactMax` (2¹⁶): vectors above which the
     *    IVF-bucketed route replaces the exact broadcast loop
-    *  - `graft.embedCosine.maxCell` (4096): IVF-cell member cap above
-    *    which a cell is hash-split into shards (the mega-cell guard —
-    *    it bounds per-cell PAIRS at ~maxCell²/2 per shard, so it must
-    *    sit far below the exactMax broadcast ceiling)
+    *  - `graft.embedCosine.maxCell` (corpus-aware: max(4096, 4·√N)
+    *    ceilinged at 16384 — [[embedCosineMaxCellDefault]]): IVF-cell
+    *    member cap above which a cell is hash-split into shards (the
+    *    mega-cell guard — it bounds per-cell PAIRS at ~maxCell²/2 per
+    *    shard, so it must sit far below the exactMax broadcast ceiling;
+    *    [[embedCapAdvisory]] warns when the resolved cap sits below the
+    *    measured zero-miss sizing)
     *  - `graft.ngram.mhPrefixSlots` (0 = off): leading MinHash slots
     *    carried as a slim tier-0 candidate filter in the ngram verify
     *    (see [[mhPrefixFilter]]); `graft.ngram.mhPrefixMin` (2): slots
@@ -723,7 +726,8 @@ object Dedup {
     * is a superset of the unprobed set UNLESS the probe's ~1.22× row
     * replication pushes a mega-cell's population across a cellCap
     * multiple and the re-shard splits a formerly co-resident pair
-    * (only cells already past ~4096 members can be affected, and a
+    * (only cells already past the cap — 4·√N by default, §8.4.8b/c —
+    * can be affected, and a
     * mega-cell's pairs are near-uniform by construction).
     *
     * Zero-norm vectors are excluded in both routes (undefined cosine;
@@ -740,20 +744,15 @@ object Dedup {
 
   private[graft] def ddEmbedCosine(spark: SparkSession, dir: String,
       exactMax: Long, maxCell: Long = -1L): DataFrame = {
+    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
     // a separate knob, NOT exactMax: forcing the bucketed route with
-    // exactMax = 0 must not also zero the mega-cell shard cap. 4096,
-    // not the 2¹⁶ broadcast ceiling it originally mirrored: a
-    // (cluster, shard) join partition does m²/2 pair scorings in ONE
-    // task, so the member cap is really a PAIR budget — 4096 caps a
-    // shard at ~8.4M pairs (~seconds), while a single 60k-member cell
-    // under the old default ran ~2·10⁹ scorings in one task (observed
-    // live at 500×: one task pinned for 40+ minutes on a corpus of
-    // verbatim-replicated vectors)
+    // exactMax = 0 must not also zero the mega-cell shard cap
     val cellCap =
       if (maxCell > 0) maxCell
-      else confLong(spark, "graft.embedCosine.maxCell", 4096L)
-    val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+      else confLong(spark, "graft.embedCosine.maxCell",
+        embedCosineMaxCellDefault(nVecs))
     embedRouteAdvisory(nVecs, exactMax).foreach(log.warn(_))
+    embedCapAdvisory(nVecs, exactMax, cellCap).foreach(log.warn(_))
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -876,6 +875,58 @@ object Dedup {
         "exhaustive pair mining raise graft.embedCosine.exactMax " +
         "knowingly (N^2/2 dot products).")
     else None
+
+  /** CORPUS-AWARE mega-cell cap default (round 14; measured, SURVEY
+    * §8.4.8b): `max(4096, 4·√N)`, ceilinged at 16384.
+    *
+    * The cap is really a per-task PAIR budget — a (cluster, shard)
+    * join partition does ~maxCell²/2 scorings in ONE task — so it must
+    * stay bounded; but the §8.4.8b 4M-vector ladder showed the old
+    * FIXED 4096 starts costing real pairs exactly where corpora get
+    * interesting: IVF cells average ~1.22·√N members post-replication,
+    * and once the data-sampled tail crosses the cap (measured onset at
+    * 4M vectors, cap ≈ 1.7× the average cell) shard-splits cost
+    * 1–4/2000 planted pairs at near-verbatim tiers — silently, while
+    * the route advisory still promised zero miss. 4·√N keeps the cap
+    * at ≈ 3.3× the expected post-replication cell, comfortably above
+    * the measured tail (the 4M ladder re-measured 0/2000 at the
+    * near-verbatim tiers under this default — §8.4.8c).
+    *
+    * The 16384 ceiling is the pair-budget line: 16384²/2 ≈ 1.3·10⁸
+    * scorings ≈ low minutes in one task at the measured ~1M-scoring/s
+    * task throughput — 16× the proven-fine 4096 budget and still ~15×
+    * under the 2·10⁹-scoring task observed pinned for 40+ minutes at
+    * 500× (the pathology the cap exists to prevent). It binds at
+    * 4·√N > 16384 ⇔ N ≳ 16.8M vectors; past that the zero-miss
+    * contract degrades by the measured ~0.05–0.2% per cap-crossing
+    * cell population and [[embedCapAdvisory]] says so at runtime. */
+  private[graft] def embedCosineMaxCellDefault(nVecs: Long): Long =
+    math.min(16384L,
+      math.max(4096L, 4L * math.round(math.sqrt(nVecs.toDouble))))
+
+  /** Cap-binding advisory (round 14, closing the r13 finding): fires
+    * when the bucketed route runs with a cell cap BELOW the measured
+    * zero-miss sizing ([[embedCosineMaxCellDefault]] uncapped, 4·√N) —
+    * i.e. the 16384 pair-budget ceiling binds (N ≳ 16.8M) or the
+    * operator pinned `maxCell` under the corpus-aware default. Without
+    * it a 10M-vector operator read an advisory promising a zero-miss
+    * contract the fixed cap no longer delivered, and nothing at
+    * runtime said the cap was binding. */
+  private[graft] def embedCapAdvisory(nVecs: Long, exactMax: Long,
+      cellCap: Long): Option[String] = {
+    val target = 4L * math.round(math.sqrt(nVecs.toDouble))
+    if (nVecs > exactMax && cellCap < target)
+      Some(s"dd_embed_cosine cell cap $cellCap is BELOW the measured " +
+        s"zero-miss sizing 4*sqrt(N) = $target for this corpus " +
+        s"($nVecs vectors): IVF cells crossing the cap are hash-split " +
+        "and cross-shard pairs are not scored. Measured at the 4M-vector " +
+        "onset (SURVEY 8.4.8b, cap at ~1.7x the average cell): 1-4/2000 " +
+        "planted near-verbatim pairs lost per cap-crossing population. " +
+        "Raise graft.embedCosine.maxCell knowingly (per-task pair budget " +
+        "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
+        "measured loss.")
+    else None
+  }
 
   /** The bucketed embed route's cell assignment — (vec_id, v, nrm,
     * cluster, shard) after the mega-cell hash-split — factored out

@@ -228,6 +228,42 @@ class KnobsSpec extends AnyFunSuite {
     assert(Dedup.embedRouteAdvisory(2000L, 65536L).isEmpty)
   }
 
+  test("embed maxCell default is corpus-aware under the pair-budget ceiling") {
+    // §8.4.8b measured the fixed 4096 cap shard-splitting real
+    // near-verbatim pairs from ~4M vectors on (cells average ~1.22·√N
+    // post-replication; the tail crossed the cap at ~1.7× average).
+    // The default is now max(4096, 4·√N) — ≈3.3× the expected cell,
+    // the sizing the §8.4.8c re-measure restored 0/2000 under —
+    // ceilinged at 16384 (pair budget ~1.3·10⁸ scorings/task).
+    def cap(n: Long) = Dedup.embedCosineMaxCellDefault(n)
+    assert(cap(2000L) == 4096L, "gate SFs must stay on the graded 4096 cap")
+    assert(cap(1048576L) == 4096L, "floor holds exactly to 4·√N = 4096")
+    assert(cap(4010000L) == 8008L, "the §8.4.8b onset corpus must scale: " +
+      s"4·√4.01M = 8008, got ${cap(4010000L)}")
+    assert(cap(100000000L) == 16384L, "pair-budget ceiling must bind at 100M")
+  }
+
+  test("the embed cap-binding advisory fires only below the measured sizing") {
+    // a cap under the zero-miss sizing 4·√N (ceiling-bound at N ≳ 16.8M,
+    // or pinned down by conf) must warn with the measured §8.4.8b trade;
+    // the corpus-aware default below the ceiling, and the exact route,
+    // must stay silent — gate corpora never see it.
+    val pinned = Dedup.embedCapAdvisory(4010000L, 65536L, 4096L)
+    assert(pinned.exists(m => m.contains("8.4.8b") && m.contains("maxCell")),
+      s"advisory must cite the measured onset and the knob: $pinned")
+    assert(Dedup.embedCapAdvisory(4010000L, 65536L,
+      Dedup.embedCosineMaxCellDefault(4010000L)).isEmpty,
+      "corpus-aware default at 4M must satisfy the sizing")
+    assert(Dedup.embedCapAdvisory(4010000L, Long.MaxValue, 64L).isEmpty,
+      "exact route must never warn about the cell cap")
+    assert(Dedup.embedCapAdvisory(100000000L, 65536L,
+      Dedup.embedCosineMaxCellDefault(100000000L)).nonEmpty,
+      "ceiling-bound default at 100M must warn — the contract degrades there")
+    assert(Dedup.embedCapAdvisory(2000L, 0L,
+      Dedup.embedCosineMaxCellDefault(2000L)).isEmpty,
+      "a small corpus forced bucketed sits on the 4096 floor — silent")
+  }
+
   test("graft.embedCosine.probeMargin replicates boundary vectors without pair dupes") {
     // §8.4.8 follow-up: the bucketed route's misses are boundary
     // cluster splits, so probeMargin > 0 (default 0.01, the measured
