@@ -867,7 +867,9 @@ object Dedup {
         "Measured pair-level miss (scale-stable through 1M vectors, " +
         "SURVEY 8.4.8) under the default boundary multi-probe " +
         "(graft.embedCosine.probeMargin=0.01): 0/2000 planted pairs at " +
-        "cos>=0.9996 through 2M vectors, ~5-7% at cos~0.99; top-40 " +
+        "cos>=0.9996 through 4M vectors under the corpus-aware cell cap " +
+        "(SURVEY 8.4.8c; past ~16.8M vectors the cap ceiling binds and " +
+        "a separate advisory quantifies the loss), ~5-7% at cos~0.99; top-40 " +
         "contract measured 39-40/40 vs the exact route. The margin is " +
         "a measured dial (SURVEY 8.4.8b: 0.02/0.03 buy the ~0.99 tier " +
         "down to ~3%/2.7% for +15%/+31% wall); probeMargin=0 reverts " +
