@@ -136,10 +136,20 @@ object Bench {
       System.err.println(f"[bench] attempt ${tries + 1} sentinel-min ${a._2.min}%.3f (bound ${c.sentinelMax}%.3f, loadavg ${c.loadavg1}%.2f)")
       // ship the attempt that is cleanest RELATIVE to its own bound —
       // an attempt paired with a stale calibration must not win just
-      // because the earlier bound was looser
-      if (a._2.min - c.sentinelMax < best._2.min - bestCalib.sentinelMax) {
-        best = a; bestCalib = c
-      }
+      // because the earlier bound was looser. EXCEPT when both
+      // candidates are contended under their own bounds (r14 advisory):
+      // relative slack then only ranks how hot each looked to its own
+      // calibration, and a strict-0.35 attempt that is absolutely
+      // colder (sentinel-min 0.40) would lose to a hotter one under a
+      // looser calibrated 0.5 bound (0.52) — in the all-hot regime the
+      // coldest absolute sentinel carries the least-inflated timings,
+      // so absolute min decides.
+      val bothContended = a._2.min > c.sentinelMax &&
+        best._2.min > bestCalib.sentinelMax
+      val aWins =
+        if (bothContended) a._2.min < best._2.min
+        else a._2.min - c.sentinelMax < best._2.min - bestCalib.sentinelMax
+      if (aWins) { best = a; bestCalib = c }
       tries += 1
     }
     if (best._2.min > bestCalib.sentinelMax)
@@ -152,6 +162,37 @@ object Bench {
     val (passes, sentinels) = best
     val results = SparkEntry.queries.keys.map { k =>
       k -> passes.flatMap(_._2(k)).minOption }.toMap
+    // AUTOMATIC hot-artifact supplement (r15, closing the r14 finding
+    // structurally): when no idle window appeared across all attempts,
+    // the whole-suite min-of-3 is a hot number and no per-query row is
+    // citable — so instead of shipping a bare "treat as hot" caption,
+    // re-run the top-N queries by artifact time with QueryBench's
+    // min-of-7 discipline and record the mins in a "supplement" block.
+    // Min-of-7 singles ride UNDER transient load spikes a 3-pass suite
+    // sweep cannot (each iteration is 1-2 s vs a ~25 s pass), so the
+    // supplement mins are the round-over-round comparison of record
+    // for those queries whenever "contended" is true. Cross-BUILD
+    // adjudication still wants the interleaved graft.QueryBench A/B
+    // (both builds alternating under the same host conditions); this
+    // block is the within-artifact analogue that ships unattended.
+    val supplementN = 8
+    val supplement: Option[Map[String, Double]] =
+      if (best._2.min <= bestCalib.sentinelMax) None
+      else Some {
+        System.err.println(s"[bench] contended artifact: running min-of-7 " +
+          s"supplement for the top $supplementN queries by artifact time")
+        results.toSeq.sortBy(-_._2.getOrElse(-1.0)).take(supplementN)
+          .map { case (name, _) =>
+            val fn = SparkEntry.queries(name)
+            val walls = (1 to 7).map { _ =>
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).count()
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> walls.min
+          }.toMap
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
@@ -163,7 +204,12 @@ object Bench {
       val samples = calib.map(s => f"$s%.3f").mkString("[", ",", "]")
       f"""{"loadavg1":$loadavg1%.2f,"samples":$samples,"sentinel_max":$sentinelMax%.3f,"source":"$calibSource","attempts":$tries,"contended":${best._2.min > sentinelMax}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson,"sf":"$sfDir"}""")
+    val suppJson = supplement.map { m =>
+      val qs7 = m.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

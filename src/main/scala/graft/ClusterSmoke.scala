@@ -65,10 +65,20 @@ object ClusterSmoke {
       }
     }
     import graft.functions.{Dedup, Similarity}
+    // the cell cap follows the SHIPPING corpus-aware default (r15,
+    // closing an r14 advisory: a fixed 4096 here stopped exercising
+    // the default path the moment it became corpus-aware — identical
+    // at gate SFs where the 4096 floor binds, but the smoke's claim
+    // of covering the shipped route would drift as the gate corpus
+    // grows). EMBED_SMOKE_MAXCELL pins it for A/Bs.
+    val cellCap = Graft.envLong("EMBED_SMOKE_MAXCELL").getOrElse(
+      Dedup.embedCosineMaxCellDefault(
+        Tables.footerRowCount(spark, dir, "embeddings")))
+    println(s"cell cap: $cellCap")
     step("ivfParts.assigned")(Similarity.ivfParts(spark, dir)._3.count())
-    step("embedCells(probed dflt)")(Dedup.embedCells(spark, dir, 4096L).count())
+    step("embedCells(probed dflt)")(Dedup.embedCells(spark, dir, cellCap).count())
     spark.conf.set("graft.embedCosine.probeMargin", "0")
-    step("embedCells(probe off)")(Dedup.embedCells(spark, dir, 4096L).count())
+    step("embedCells(probe off)")(Dedup.embedCells(spark, dir, cellCap).count())
     spark.conf.unset("graft.embedCosine.probeMargin")
     step("ssIvfTopK")(Similarity.ssIvfTopK(spark, dir).count())
     step("ddEmbedCosine")(Dedup.ddEmbedCosine(spark, dir).count())

@@ -153,7 +153,7 @@ object EmbedRecallSmoke {
     // max(4096, 4·√N) ceilinged at 16384) so the smoke measures what
     // ships; EMBED_SMOKE_MAXCELL pins it for A/Bs against the old
     // fixed 4096 (the §8.4.8b shard-split-onset rows)
-    val cellCap = sys.env.get("EMBED_SMOKE_MAXCELL").map(_.toLong)
+    val cellCap = Graft.envLong("EMBED_SMOKE_MAXCELL")
       .getOrElse(Dedup.embedCosineMaxCellDefault(nVecs))
     println(s"cell cap: $cellCap (corpus-aware default " +
       s"${Dedup.embedCosineMaxCellDefault(nVecs)})")

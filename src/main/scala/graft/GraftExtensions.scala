@@ -86,4 +86,17 @@ object Graft {
   /** All driver-gated queries by name. */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = SparkEntry.queries
+
+  /** Parse an env-var override as Long, failing with the variable's
+    * name and the bad value instead of a bare NumberFormatException
+    * (a measurement main crashing on `EMBED_SMOKE_MAXCELL=8k` should
+    * say which knob was malformed). */
+  def envLong(name: String): Option[Long] =
+    sys.env.get(name).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"env var $name must be a long integer, got '$v'")
+      }
+    }
 }

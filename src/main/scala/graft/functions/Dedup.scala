@@ -903,8 +903,15 @@ object Dedup {
     * contract degrades by the measured ~0.05–0.2% per cap-crossing
     * cell population and [[embedCapAdvisory]] says so at runtime. */
   private[graft] def embedCosineMaxCellDefault(nVecs: Long): Long =
-    math.min(16384L,
-      math.max(4096L, 4L * math.round(math.sqrt(nVecs.toDouble))))
+    math.min(16384L, math.max(4096L, embedCosineMaxCellSizing(nVecs)))
+
+  /** The UNCAPPED zero-miss sizing `4·√N` — the single source both
+    * [[embedCosineMaxCellDefault]] (floor 4096 / ceiling 16384 around
+    * it) and [[embedCapAdvisory]] (fires when the resolved cap sits
+    * below it) derive from, so a retune of the formula cannot
+    * desynchronize the default from the advisory (r14 advisory). */
+  private[graft] def embedCosineMaxCellSizing(nVecs: Long): Long =
+    4L * math.round(math.sqrt(nVecs.toDouble))
 
   /** Cap-binding advisory (round 14, closing the r13 finding): fires
     * when the bucketed route runs with a cell cap BELOW the measured
@@ -916,7 +923,7 @@ object Dedup {
     * runtime said the cap was binding. */
   private[graft] def embedCapAdvisory(nVecs: Long, exactMax: Long,
       cellCap: Long): Option[String] = {
-    val target = 4L * math.round(math.sqrt(nVecs.toDouble))
+    val target = embedCosineMaxCellSizing(nVecs)
     if (nVecs > exactMax && cellCap < target)
       Some(s"dd_embed_cosine cell cap $cellCap is BELOW the measured " +
         s"zero-miss sizing 4*sqrt(N) = $target for this corpus " +

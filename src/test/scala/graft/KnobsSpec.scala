@@ -442,6 +442,61 @@ class KnobsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate generation: no co-resident pairs")
   }
 
+  test("ivfProbedParts: otherShard equals the partner row's shard (route-derived)") {
+    // the r14 property test models the route's shard hash with a
+    // stand-in, so a regression where ivfProbedParts computed
+    // otherShard with the WRONG cell's shard count would disagree with
+    // both the model and the rows and slip through (r14 advisory).
+    // This pin derives the rows from the REAL emitter: run embedCells
+    // with probing forced wide (margin 2 replicates every vector into
+    // its top-2 cells) and a tiny cell cap (a 300-member duplicate
+    // blob shards ~10-way while scattered noise cells stay 1-shard),
+    // then check every replicated row's otherShard against the shard
+    // its partner row actually carries in the `other` cell.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val blob = (0 until 300).map(i => (i.toLong, Array.fill(32)(0.5f)))
+    val noise = (0 until 60).map(i =>
+      (300L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val d = java.nio.file.Files.createTempDirectory("knob-othershard").toString
+    (blob ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    withConf("graft.embedCosine.probeMargin" -> "2") {
+      val cells = Dedup.embedCells(spark, d, 32L)
+        .select("vec_id", "cluster", "shard", "other", "otherShard")
+        .cache()
+      val repl = cells.where(col("other").isNotNull)
+      val partner = cells.select(col("vec_id").as("p_vec"),
+        col("cluster").as("p_cluster"), col("shard").as("p_shard"))
+      val joined = repl.join(partner,
+        col("vec_id") === col("p_vec") && col("other") === col("p_cluster"))
+        .cache()
+      val nRepl = repl.count()
+      assert(nRepl > 0, "no replicated rows: probeMargin=2 should replicate")
+      assert(joined.count() == nRepl,
+        "every `other` must point at a cell the vector really joined")
+      val wrong = joined.where(col("otherShard") =!= col("p_shard")).count()
+      assert(wrong == 0,
+        s"$wrong rows carry an otherShard that differs from the shard " +
+          "the partner row computed in the `other` cell")
+      // non-degeneracy: the pin only bites if replicated rows span
+      // cells with DIFFERENT shard structure (a same-shard-count corpus
+      // would mask a wrong-cell shard-count regression)
+      val nShards = cells.groupBy("cluster")
+        .agg(countDistinct(col("shard")).as("ns"))
+      val spanning = repl
+        .join(nShards, "cluster").withColumnRenamed("ns", "nsA")
+        .join(nShards.select(col("cluster").as("other"), col("ns").as("nsB")),
+          "other")
+        .where(col("nsA") =!= col("nsB")).count()
+      assert(spanning > 0,
+        "degenerate corpus: no replicated row spans cells of differing " +
+          "shard structure")
+      cells.unpersist(); joined.unpersist()
+    }
+  }
+
   test("graft.embedCosine.maxCell governs mega-cell sharding, not exactMax") {
     // forcing the bucketed route via conf exactMax=0 must leave the
     // cell cap at its own default — a 300-member duplicate blob is
