@@ -51,6 +51,22 @@ object EmbedRecallSmoke {
     // absent → the operator's default probeMargin applies; an explicit
     // value (incl. 0 = off) pins the conf for A/B runs
     val probeMargin = args.lift(3).map(_.toDouble)
+    // EMBED_SMOKE_CAP_LADDER="16384,8192,4096": measure SEVERAL cell
+    // caps against ONE persisted assignment. The N×√N assignment pass
+    // is cap-independent — only the shard hash ceil(cnt/cap) consumes
+    // the cap — so a ladder costs one assignment plus a cheap re-shard
+    // per rung. This is the instrument for the 16384 pair-budget
+    // ceiling (SURVEY §8.4.8c): a rung BELOW the corpus's 4·√N sizing
+    // simulates the binding ratio a larger corpus experiences under
+    // the fixed ceiling (cap/sizing 0.5 at 20M ≈ the ceiling at ~67M
+    // vectors, 0.25 ≈ ~270M). The FIRST rung feeds the margin-decile
+    // section; per-tier tables print for every rung.
+    val capLadder: Seq[Long] = sys.env.get("EMBED_SMOKE_CAP_LADDER")
+      .map(v => try v.split(",").toSeq.map(_.trim.toLong)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException("env var EMBED_SMOKE_CAP_LADDER " +
+            s"must be comma-separated long integers, got '$v'") })
+      .getOrElse(Nil)
     val parts = sys.env.getOrElse("SCALE_SMOKE_PARTITIONS", "64")
     // SCALE_SMOKE_MASTER=local-cluster[4,8,7168] runs the probed pair
     // join under REAL multi-executor shuffle (the ScaleSmoke protocol —
@@ -102,7 +118,11 @@ object EmbedRecallSmoke {
       .map(_.longValue + 1).getOrElse(0L)
     val nBg = ne * factor
     val bgAmp = (col("copy") % 7).cast("double") / 7.0 * 0.98 + 0.02
+    // the fan-out's stream side is the tiny source scan (1-2 tasks) —
+    // without the repartition the whole 20M-row noise projection and
+    // parquet encode of a frontier corpus runs near-serial (round 15)
     val bg = e.crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .select((col("vec_id") + col("copy") * ne).as("vec_id"),
         when(col("copy") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
@@ -149,30 +169,11 @@ object EmbedRecallSmoke {
       spark.conf.set("graft.embedCosine.probeMargin", m.toString))
 
     // -- pair-level co-residency over the operator's own cells --------
-    // the cap follows the operator's corpus-aware default (round 14:
-    // max(4096, 4·√N) ceilinged at 16384) so the smoke measures what
-    // ships; EMBED_SMOKE_MAXCELL pins it for A/Bs against the old
-    // fixed 4096 (the §8.4.8b shard-split-onset rows)
-    val cellCap = Graft.envLong("EMBED_SMOKE_MAXCELL")
-      .getOrElse(Dedup.embedCosineMaxCellDefault(nVecs))
-    println(s"cell cap: $cellCap (corpus-aware default " +
-      s"${Dedup.embedCosineMaxCellDefault(nVecs)})")
-    val t0 = System.nanoTime()
-    val rawCells = Dedup.embedCells(spark, big, cellCap)
-    val cells = rawCells
-      .select((Seq("vec_id", "cluster", "shard") ++
-        (if (rawCells.columns.contains("other"))
-          Seq("other", "otherShard") else Nil))
-        .map(col): _*)
-      .cache()
-    val nRows = cells.count()
-    println(f"cell assignment: ${(System.nanoTime() - t0) / 1e9}%.1f s" +
-      (if (rawCells.columns.contains("other"))
-        f" (rows $nRows = ${nRows.toDouble / nVecs}%.3fx replication)"
-      else ""))
     val pairs = spark.read.parquet(s"$big/pairs")
     val emb = spark.read.parquet(s"$big/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // cap-independent (and tiny: one row per planted pair) — cached so
+    // the ladder's rungs don't re-join the full corpus per cap
     val withCos = pairs
       .join(emb.select(col("vec_id").as("base_id"), col("v").as("va")), "base_id")
       .join(emb.select(col("vec_id").as("partner_id"), col("v").as("vb")),
@@ -180,7 +181,10 @@ object EmbedRecallSmoke {
       .withColumn("cos", VectorOps.dot(col("va"), col("vb")) /
         (VectorOps.l2norm(col("va")) * VectorOps.l2norm(col("vb"))))
       .select("tier", "base_id", "partner_id", "cos")
-    // under boundary multi-probe (probeMargin > 0) a vector can occupy
+      .cache()
+
+    // Per-pair verdicts for ONE cell assignment, per-tier table printed.
+    // Under boundary multi-probe (probeMargin > 0) a vector can occupy
     // two cells — join all rows per side and aggregate per pair: the
     // route scores the pair iff some row combo satisfies its own join
     // condition, mirrored from Dedup.scoreOnceCond — same
@@ -188,50 +192,119 @@ object EmbedRecallSmoke {
     // common cell (skip only when the pair is ALSO same-shard there).
     // With probing off, the o/os columns are absent and this reduces
     // exactly to the single-row same-(cluster, shard) semantics.
-    val probed = cells.columns.contains("other")
-    def sideRows(idCol: String, p: String) = cells.select(
-      (Seq(col("vec_id").as(idCol), col("cluster").as(s"c$p"),
-        col("shard").as(s"s$p")) ++
-        (if (probed)
-          Seq(col("other").as(s"o$p"), col("otherShard").as(s"os$p"))
-        else Nil)): _*)
-    val measured = withCos
-      .join(sideRows("base_id", "a"), Seq("base_id"), "left")
-      .join(sideRows("partner_id", "b"), Seq("partner_id"), "left")
-      .withColumn("rowMeasured", col("ca").isNotNull && col("cb").isNotNull)
-      .withColumn("rowCommon", col("rowMeasured") && col("ca") === col("cb"))
-      .withColumn("rowSkip",
-        if (probed)
-          col("oa").isNotNull && (col("oa") <=> col("ob")) &&
-            col("oa") < col("ca") && (col("osa") <=> col("osb"))
-        else lit(false))
-      .withColumn("rowHit", col("rowCommon") && col("sa") === col("sb") &&
-        !col("rowSkip"))
-      .groupBy("tier", "base_id", "partner_id", "cos")
-      .agg(max(col("rowMeasured")).as("m"), max(col("rowCommon")).as("common"),
-        max(col("rowHit")).as("hit"))
-      .withColumn("unmeasured", !col("m"))
-      .withColumn("clusterSplit", col("m") && !col("common"))
-      .withColumn("shardSplit", col("m") && col("common") && !col("hit"))
-      .cache()
-    println("tier  amp    pairs  meanCos  minCos   clusterSplit shardSplit  missRate")
-    measured.groupBy("tier").agg(
-        count(lit(1)).as("n"), avg("cos").as("mc"), min("cos").as("mn"),
-        sum(col("clusterSplit").cast("long")).as("cs"),
-        sum(col("shardSplit").cast("long")).as("ss"),
-        sum(col("unmeasured").cast("long")).as("um"))
-      .orderBy("tier").collect().foreach { r =>
-        val (n, cs, ss, um) = (r.getLong(1), r.getLong(4), r.getLong(5),
-          r.getLong(6))
-        println(f"${r.getInt(0)}%4d  ${amps(r.getInt(0))}%.3f  $n%6d  " +
-          f"${r.getDouble(2)}%.4f  ${r.getDouble(3)}%.4f  " +
-          f"$cs%8d     $ss%6d      ${(cs + ss).toDouble / (n - um)}%.4f" +
-          (if (um > 0) s"  (unmeasured=$um)" else ""))
+    def measure(cells: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val probed = cells.columns.contains("other")
+      def sideRows(idCol: String, p: String) = cells.select(
+        (Seq(col("vec_id").as(idCol), col("cluster").as(s"c$p"),
+          col("shard").as(s"s$p")) ++
+          (if (probed)
+            Seq(col("other").as(s"o$p"), col("otherShard").as(s"os$p"))
+          else Nil)): _*)
+      val measured = withCos
+        .join(sideRows("base_id", "a"), Seq("base_id"), "left")
+        .join(sideRows("partner_id", "b"), Seq("partner_id"), "left")
+        .withColumn("rowMeasured", col("ca").isNotNull && col("cb").isNotNull)
+        .withColumn("rowCommon", col("rowMeasured") && col("ca") === col("cb"))
+        .withColumn("rowSkip",
+          if (probed)
+            col("oa").isNotNull && (col("oa") <=> col("ob")) &&
+              col("oa") < col("ca") && (col("osa") <=> col("osb"))
+          else lit(false))
+        .withColumn("rowHit", col("rowCommon") && col("sa") === col("sb") &&
+          !col("rowSkip"))
+        .groupBy("tier", "base_id", "partner_id", "cos")
+        .agg(max(col("rowMeasured")).as("m"), max(col("rowCommon")).as("common"),
+          max(col("rowHit")).as("hit"))
+        .withColumn("unmeasured", !col("m"))
+        .withColumn("clusterSplit", col("m") && !col("common"))
+        .withColumn("shardSplit", col("m") && col("common") && !col("hit"))
+        .cache()
+      println("tier  amp    pairs  meanCos  minCos   clusterSplit shardSplit  missRate")
+      measured.groupBy("tier").agg(
+          count(lit(1)).as("n"), avg("cos").as("mc"), min("cos").as("mn"),
+          sum(col("clusterSplit").cast("long")).as("cs"),
+          sum(col("shardSplit").cast("long")).as("ss"),
+          sum(col("unmeasured").cast("long")).as("um"))
+        .orderBy("tier").collect().foreach { r =>
+          val (n, cs, ss, um) = (r.getLong(1), r.getLong(4), r.getLong(5),
+            r.getLong(6))
+          println(f"${r.getInt(0)}%4d  ${amps(r.getInt(0))}%.3f  $n%6d  " +
+            f"${r.getDouble(2)}%.4f  ${r.getDouble(3)}%.4f  " +
+            f"$cs%8d     $ss%6d      ${(cs + ss).toDouble / (n - um)}%.4f" +
+            (if (um > 0) s"  (unmeasured=$um)" else ""))
+        }
+      measured
+    }
+
+    val measured = if (capLadder.isEmpty) {
+      // single-cap mode: the cap follows the operator's corpus-aware
+      // default (round 14: max(4096, 4·√N) ceilinged at 16384) so the
+      // smoke measures what ships; EMBED_SMOKE_MAXCELL pins it for
+      // A/Bs against the old fixed 4096 (the §8.4.8b onset rows)
+      val cellCap = Graft.envLong("EMBED_SMOKE_MAXCELL")
+        .getOrElse(Dedup.embedCosineMaxCellDefault(nVecs))
+      println(s"cell cap: $cellCap (corpus-aware default " +
+        s"${Dedup.embedCosineMaxCellDefault(nVecs)})")
+      val t0 = System.nanoTime()
+      val rawCells = Dedup.embedCells(spark, big, cellCap)
+      val cells = rawCells
+        .select((Seq("vec_id", "cluster", "shard") ++
+          (if (rawCells.columns.contains("other"))
+            Seq("other", "otherShard") else Nil))
+          .map(col): _*)
+        .cache()
+      val nRows = cells.count()
+      println(f"cell assignment: ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+        (if (rawCells.columns.contains("other"))
+          f" (rows $nRows = ${nRows.toDouble / nVecs}%.3fx replication)"
+        else ""))
+      measure(cells)
+    } else {
+      // cap-ladder mode: one persisted assignment, one cheap re-shard
+      // per rung — Similarity.shardCells is the route's OWN shard
+      // arithmetic, so each rung is exactly what embedCells(cap)
+      // would assign on this corpus, not a smoke-side model of it
+      val pm = Dedup.embedProbeMargin(spark)
+      require(pm > 0,
+        "cap ladder measures the shipping probed route; set probeMargin > 0")
+      val slimDir = s"$big/cells_slim"
+      val slimReuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
+        new java.io.File(slimDir).exists()
+      val t0 = System.nanoTime()
+      if (!slimReuse)
+        Similarity.probedCellAssign(spark, big, pm)
+          .write.mode("overwrite").parquet(slimDir)
+      val slim = spark.read.parquet(slimDir)
+      val nRows = slim.count()
+      println(f"assignment${if (slimReuse) " (REUSED)" else ""}: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(rows $nRows = ${nRows.toDouble / nVecs}%.3fx replication, " +
+        f"probeMargin $pm)")
+      var first: Option[org.apache.spark.sql.DataFrame] = None
+      capLadder.foreach { cap =>
+        println(s"\n=== cap $cap (uncapped sizing " +
+          s"${Dedup.embedCosineMaxCellSizing(nVecs)}, shipping default " +
+          s"${Dedup.embedCosineMaxCellDefault(nVecs)}, cap/sizing " +
+          f"${cap.toDouble / Dedup.embedCosineMaxCellSizing(nVecs)}%.2f) ===")
+        val cells = Similarity.shardCells(slim, cap).cache()
+        val m = measure(cells)
+        if (first.isEmpty) first = Some(m)
+        else { m.unpersist(); cells.unpersist() }
       }
+      first.get
+    }
 
     // -- boundary cut: top-2 centroid margin of each base -------------
+    // margins are needed only for the planted BASES (tiers·nPlant
+    // rows), not the whole corpus: the semi-join keeps this from being
+    // a SECOND assignment-scale N×√N pass on the frontier corpora
+    // (round 15 — it was one through 4M), and changes no reported
+    // number — downstream only ever joins margins to pairs by base_id.
     val (ev, cents, _) = Similarity.ivfParts(spark, big)
-    val margins = ev.join(broadcast(cents))
+    val bases = pairs.select(col("base_id").as("vec_id")).distinct()
+    val margins = ev.join(broadcast(bases), Seq("vec_id"), "left_semi")
+      .join(broadcast(cents))
       .select(col("vec_id"),
         (VectorOps.dot(col("v"), col("cv")) /
           (col("nrm") * col("cn"))).as("ccos"), col("c_id"))

@@ -937,6 +937,14 @@ object Dedup {
     else None
   }
 
+  /** The effective boundary-probe margin — the
+    * `graft.embedCosine.probeMargin` conf with its measured default
+    * (0.01, §8.4.8b). Single-sourced here so EmbedRecallSmoke's cap
+    * ladder replicates exactly the margin the route would use instead
+    * of re-stating the default (the r14 single-sourcing rule). */
+  private[graft] def embedProbeMargin(spark: SparkSession): Double =
+    confDouble(spark, "graft.embedCosine.probeMargin", 0.01)
+
   /** The bucketed embed route's cell assignment — (vec_id, v, nrm,
     * cluster, shard) after the mega-cell hash-split — factored out
     * (like [[ngramCandidates]]) so EmbedRecallSmoke can measure the
@@ -966,7 +974,7 @@ object Dedup {
     // SF to +35–37% at 4M vectors (§8.4.8b pricing; the conjunct
     // itself is scalar codegen — the cost is the replicated pair
     // scorings). Set 0 for the round-≤11 single-assignment plan.
-    val pm = confDouble(spark, "graft.embedCosine.probeMargin", 0.01)
+    val pm = embedProbeMargin(spark)
     if (pm > 0)
       // shard + otherShard (the scoreOnceCond shard-aware-defer input)
       // are computed on the slim pre-payload stream inside

@@ -261,6 +261,28 @@ object Similarity {
       probeMargin: Double, cellCap: Long): DataFrame = {
     val (e, cents, _) = ivfParts(spark, dir)
     val eSpread = spread(e)
+    val slim = shardCells(probedCellAssign(eSpread, cents, probeMargin), cellCap)
+    eSpread.join(slim, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        col("shard"), col("other"), col("otherShard"))
+  }
+
+  /** The CAP-INDEPENDENT half of [[ivfProbedParts]] — (vec_id,
+    * cluster, other) after probe replication, BEFORE the mega-cell
+    * shard hash. Factored out (round 15) so EmbedRecallSmoke's cap
+    * ladder can run the expensive N×√N assignment pass once and
+    * re-shard it per cap with [[shardCells]] — the route's own shard
+    * arithmetic, not a smoke-side stand-in. `ivfProbedParts` composes
+    * these two, so the operator's plan is the extraction's identity
+    * check (PlanSpec's scan/exchange guards pin it). */
+  private[graft] def probedCellAssign(spark: SparkSession, dir: String,
+      probeMargin: Double): DataFrame = {
+    val (e, cents, _) = ivfParts(spark, dir)
+    probedCellAssign(spread(e), cents, probeMargin)
+  }
+
+  private[graft] def probedCellAssign(eSpread: DataFrame, cents: DataFrame,
+      probeMargin: Double): DataFrame = {
     val top2 = eSpread.join(broadcast(cents))
       .select(col("vec_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c_cos"),
@@ -281,7 +303,7 @@ object Similarity {
     // scalar comparisons (see ddEmbedCosine), keeping the per-pair
     // conjunct allocation-free inside codegen — an array_intersect
     // formulation measured 2.7× on the whole operator at 1M vectors
-    val withCells = top2
+    top2
       .select(col("vec_id"),
         explode(when(col("c2").isNotNull, array(col("c1"), col("c2")))
           .otherwise(array(col("c1")))).as("cluster"),
@@ -289,23 +311,26 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         when(col("cluster") === col("c1"), col("c2"))
           .otherwise(col("c1")).as("other"))
-    // POST-replication cell populations → shard counts, mirroring the
-    // unprobed path's window rule ceil(cnt / cellCap); a cell under the
-    // cap gets shards = 1 and shard = 0 for every member. An
-    // unreplicated row keeps other/otherShard null (left join miss →
-    // null o_cnt → null pmod).
+  }
+
+  /** The CAP-DEPENDENT half of [[ivfProbedParts]]: POST-replication
+    * cell populations → shard counts, mirroring the unprobed path's
+    * window rule ceil(cnt / cellCap); a cell under the cap gets
+    * shards = 1 and shard = 0 for every member. An unreplicated row
+    * keeps other/otherShard null (left join miss → null o_cnt → null
+    * pmod). Takes [[probedCellAssign]]'s (vec_id, cluster, other)
+    * rows — or the same rows read back from parquet, which is how the
+    * smoke's cap ladder amortizes the assignment pass. */
+  private[graft] def shardCells(withCells: DataFrame, cellCap: Long): DataFrame = {
     val cnts = withCells.groupBy("cluster").agg(count(lit(1)).as("cnt"))
     def shardOf(cnt: Column): Column =
       pmod(xxhash64(col("vec_id")), ceil(cnt / lit(cellCap.toDouble)).cast("long"))
-    val slim = withCells
+    withCells
       .join(broadcast(cnts), "cluster")
       .join(broadcast(cnts.select(col("cluster").as("o_cl"),
         col("cnt").as("o_cnt"))), col("other") === col("o_cl"), "left")
       .select(col("vec_id"), col("cluster"), shardOf(col("cnt")).as("shard"),
         col("other"), shardOf(col("o_cnt")).as("otherShard"))
-    eSpread.join(slim, "vec_id")
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
-        col("shard"), col("other"), col("otherShard"))
   }
 
   /** Achievable-recall floor for the aggregate assert in
