@@ -75,6 +75,16 @@ object EmbedRecallSmoke {
     val builder = Graft.sessionBuilder().master(master)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
+      // frontier corpora overwhelm the session default (2^18): the IVF
+      // assignment groups on vec_id, so a 20M-vector corpus spread over
+      // 32 local threads holds 625k groups per task — past the default
+      // the partial aggregate falls back to SORT-based aggregation and
+      // spills the N×√N scored stream (~67 GB/task, measured filling
+      // the disk at 20M). 2^21 bounded topk buffers ≈ ~200 MB/task. A
+      // real cluster never sees this: the same corpus over thousands
+      // of tasks sits far under the default threshold.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
     if (master.startsWith("local-cluster")) {
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -268,9 +278,15 @@ object EmbedRecallSmoke {
       val pm = Dedup.embedProbeMargin(spark)
       require(pm > 0,
         "cap ladder measures the shipping probed route; set probeMargin > 0")
-      val slimDir = s"$big/cells_slim"
+      val slimDir = s"$big/cells_slim.parquet"
+      // reuse must survive a corpus swap under the same dir (the 40k
+      // plumbing corpus's 63k-row assignment once rode under a 20M
+      // corpus): a genuine assignment has ≥1 row per vector
+      // (replication ≥ 1), so a smaller footer count marks it stale
       val slimReuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
-        new java.io.File(slimDir).exists()
+        new java.io.File(slimDir).exists() &&
+        (try Tables.footerRowCount(spark, big, "cells_slim") >= nVecs
+        catch { case _: Exception => false })
       val t0 = System.nanoTime()
       if (!slimReuse)
         Similarity.probedCellAssign(spark, big, pm)

@@ -867,9 +867,10 @@ object Dedup {
         "Measured pair-level miss (scale-stable through 1M vectors, " +
         "SURVEY 8.4.8) under the default boundary multi-probe " +
         "(graft.embedCosine.probeMargin=0.01): 0/2000 planted pairs at " +
-        "cos>=0.9996 through 4M vectors under the corpus-aware cell cap " +
-        "(SURVEY 8.4.8c; past ~16.8M vectors the cap ceiling binds and " +
-        "a separate advisory quantifies the loss), ~5-7% at cos~0.99; top-40 " +
+        "cos>=0.9996 through 20M vectors under the corpus-aware cell cap " +
+        "(SURVEY 8.4.8c/8.4.8d — the 16384 cap ceiling binds past ~16.8M " +
+        "vectors but measures loss-free through ~20M; a separate advisory " +
+        "quantifies the measured curve beyond), ~5-7% at cos~0.99; top-40 " +
         "contract measured 39-40/40 vs the exact route. The margin is " +
         "a measured dial (SURVEY 8.4.8b: 0.02/0.03 buy the ~0.99 tier " +
         "down to ~3%/2.7% for +15%/+31% wall); probeMargin=0 reverts " +
@@ -899,9 +900,13 @@ object Dedup {
     * task throughput — 16× the proven-fine 4096 budget and still ~15×
     * under the 2·10⁹-scoring task observed pinned for 40+ minutes at
     * 500× (the pathology the cap exists to prevent). It binds at
-    * 4·√N > 16384 ⇔ N ≳ 16.8M vectors; past that the zero-miss
-    * contract degrades by the measured ~0.05–0.2% per cap-crossing
-    * cell population and [[embedCapAdvisory]] says so at runtime. */
+    * 4·√N > 16384 ⇔ N ≳ 16.8M vectors; past that the contract
+    * degrades along the MEASURED §8.4.8d ladder (20M-vector corpus,
+    * consistent with the 4M onset in cap/mean-cell units): loss 0
+    * while the ceiling stays ≥ ~2.8× the mean post-replication cell
+    * (through N ≈ 20M measured directly), ~0.2–0.5% near-verbatim at
+    * ~1.7× (ceiling at N ≈ 54M), ~4% at ~1.4× (≈ 80M), ~24% at ~1.0×
+    * (≈ 145M) — and [[embedCapAdvisory]] says so at runtime. */
   private[graft] def embedCosineMaxCellDefault(nVecs: Long): Long =
     math.min(16384L, math.max(4096L, embedCosineMaxCellSizing(nVecs)))
 
@@ -928,10 +933,13 @@ object Dedup {
       Some(s"dd_embed_cosine cell cap $cellCap is BELOW the measured " +
         s"zero-miss sizing 4*sqrt(N) = $target for this corpus " +
         s"($nVecs vectors): IVF cells crossing the cap are hash-split " +
-        "and cross-shard pairs are not scored. Measured at the 4M-vector " +
-        "onset (SURVEY 8.4.8b, cap at ~1.7x the average cell): 1-4/2000 " +
-        "planted near-verbatim pairs lost per cap-crossing population. " +
-        "Raise graft.embedCosine.maxCell knowingly (per-task pair budget " +
+        "and cross-shard pairs are not scored. Measured cap ladder at " +
+        "20M vectors (SURVEY 8.4.8d; the 4M onset 8.4.8b agrees in " +
+        "cap/mean-cell units): near-verbatim loss is 0 while the cap " +
+        "stays >= ~2.8x the mean post-replication cell (the 16384 " +
+        "ceiling through N ~20M), ~0.2-0.5% at ~1.7x (ceiling at " +
+        "N ~54M), ~4% at ~1.4x (~80M), ~24% at ~1.0x (~145M). Raise " +
+        "graft.embedCosine.maxCell knowingly (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
         "measured loss.")
     else None

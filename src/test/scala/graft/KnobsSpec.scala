@@ -249,8 +249,8 @@ class KnobsSpec extends AnyFunSuite {
     // the corpus-aware default below the ceiling, and the exact route,
     // must stay silent — gate corpora never see it.
     val pinned = Dedup.embedCapAdvisory(4010000L, 65536L, 4096L)
-    assert(pinned.exists(m => m.contains("8.4.8b") && m.contains("maxCell")),
-      s"advisory must cite the measured onset and the knob: $pinned")
+    assert(pinned.exists(m => m.contains("8.4.8d") && m.contains("maxCell")),
+      s"advisory must cite the measured ceiling ladder and the knob: $pinned")
     assert(Dedup.embedCapAdvisory(4010000L, 65536L,
       Dedup.embedCosineMaxCellDefault(4010000L)).isEmpty,
       "corpus-aware default at 4M must satisfy the sizing")
