@@ -903,10 +903,11 @@ object Dedup {
     * 4·√N > 16384 ⇔ N ≳ 16.8M vectors; past that the contract
     * degrades along the MEASURED §8.4.8d ladder (20M-vector corpus,
     * consistent with the 4M onset in cap/mean-cell units): loss 0
-    * while the ceiling stays ≥ ~2.8× the mean post-replication cell
-    * (through N ≈ 20M measured directly), ~0.2–0.5% near-verbatim at
-    * ~1.7× (ceiling at N ≈ 54M), ~4% at ~1.4× (≈ 80M), ~24% at ~1.0×
-    * (≈ 145M) — and [[embedCapAdvisory]] says so at runtime. */
+    * while the ceiling stays ≥ ~2.3× the mean post-replication cell
+    * (ceiling-equivalent N ≈ 30M; N ≈ 20M measured directly), onset
+    * ~0.05–0.15% near-verbatim at ~2.0× (≈ 40M), ~0.2–0.5% at ~1.7×
+    * (≈ 54M), ~4% at ~1.4× (≈ 80M), ~24% at ~1.0× (≈ 145M) — and
+    * [[embedCapAdvisory]] says so at runtime. */
   private[graft] def embedCosineMaxCellDefault(nVecs: Long): Long =
     math.min(16384L, math.max(4096L, embedCosineMaxCellSizing(nVecs)))
 
@@ -936,9 +937,10 @@ object Dedup {
         "and cross-shard pairs are not scored. Measured cap ladder at " +
         "20M vectors (SURVEY 8.4.8d; the 4M onset 8.4.8b agrees in " +
         "cap/mean-cell units): near-verbatim loss is 0 while the cap " +
-        "stays >= ~2.8x the mean post-replication cell (the 16384 " +
-        "ceiling through N ~20M), ~0.2-0.5% at ~1.7x (ceiling at " +
-        "N ~54M), ~4% at ~1.4x (~80M), ~24% at ~1.0x (~145M). Raise " +
+        "stays >= ~2.3x the mean post-replication cell (the 16384 " +
+        "ceiling through N ~30M), onset ~0.05-0.15% at ~2.0x (ceiling " +
+        "at N ~40M), ~0.2-0.5% at ~1.7x (~54M), ~4% at ~1.4x (~80M), " +
+        "~24% at ~1.0x (~145M). Raise " +
         "graft.embedCosine.maxCell knowingly (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
         "measured loss.")
