@@ -278,14 +278,18 @@ object EmbedRecallSmoke {
       val pm = Dedup.embedProbeMargin(spark)
       require(pm > 0,
         "cap ladder measures the shipping probed route; set probeMargin > 0")
-      val slimDir = s"$big/cells_slim.parquet"
-      // reuse must survive a corpus swap under the same dir (the 40k
-      // plumbing corpus's 63k-row assignment once rode under a 20M
+      // margin-specific path: an assignment is only reusable under the
+      // SAME probe margin (replication set depends on it), so a margin
+      // A/B can't silently ride a stale assignment
+      val slimName = s"cells_slim_pm$pm"
+      val slimDir = s"$big/$slimName.parquet"
+      // reuse must also survive a corpus swap under the same dir (the
+      // 40k plumbing corpus's 63k-row assignment once rode under a 20M
       // corpus): a genuine assignment has ≥1 row per vector
       // (replication ≥ 1), so a smaller footer count marks it stale
       val slimReuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
         new java.io.File(slimDir).exists() &&
-        (try Tables.footerRowCount(spark, big, "cells_slim") >= nVecs
+        (try Tables.footerRowCount(spark, big, slimName) >= nVecs
         catch { case _: Exception => false })
       val t0 = System.nanoTime()
       if (!slimReuse)
