@@ -182,15 +182,19 @@ object Bench {
         System.err.println(s"[bench] contended artifact: running min-of-7 " +
           s"supplement for the top $supplementN queries by artifact time")
         results.toSeq.sortBy(-_._2.getOrElse(-1.0)).take(supplementN)
-          .map { case (name, _) =>
+          .flatMap { case (name, _) =>
             val fn = SparkEntry.queries(name)
-            val walls = (1 to 7).map { _ =>
+            // a throwing iteration records NO wall — same rule as the
+            // suite passes (a query's fast time-to-failure must never
+            // win the min); a query with zero clean iterations is
+            // omitted from the supplement rather than shipped fake
+            val walls = (1 to 7).flatMap { _ =>
               val t0 = System.nanoTime()
-              try fn(spark, sfDir).count()
-              catch { case _: Throwable => () }
-              (System.nanoTime() - t0) / 1e9
+              try { fn(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => None }
             }
-            name -> walls.min
+            walls.minOption.map(name -> _)
           }.toMap
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }

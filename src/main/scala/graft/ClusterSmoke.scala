@@ -72,8 +72,17 @@ object ClusterSmoke {
     // of covering the shipped route would drift as the gate corpus
     // grows). EMBED_SMOKE_MAXCELL pins it for A/Bs.
     val cellCap = Graft.envLong("EMBED_SMOKE_MAXCELL").getOrElse(
-      Dedup.embedCosineMaxCellDefault(
-        Tables.footerRowCount(spark, dir, "embeddings")))
+      // resolve must DEGRADE like every step does, not crash the smoke
+      // before any FAILED line prints (a missing/corrupt corpus throws
+      // from the footer sweep): fall back to the 4096 floor and say so
+      try Dedup.embedCosineMaxCellDefault(
+        Tables.footerRowCount(spark, dir, "embeddings"))
+      catch { case e: Throwable =>
+        println("cell cap resolve FAILED (" +
+          String.valueOf(e.getMessage).takeWhile(_ != '\n') +
+          "): falling back to the 4096 floor")
+        4096L
+      })
     println(s"cell cap: $cellCap")
     step("ivfParts.assigned")(Similarity.ivfParts(spark, dir)._3.count())
     step("embedCells(probed dflt)")(Dedup.embedCells(spark, dir, cellCap).count())

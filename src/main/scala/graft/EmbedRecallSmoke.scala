@@ -285,12 +285,16 @@ object EmbedRecallSmoke {
       val slimDir = s"$big/$slimName.parquet"
       // reuse must also survive a corpus swap under the same dir (the
       // 40k plumbing corpus's 63k-row assignment once rode under a 20M
-      // corpus): a genuine assignment has ≥1 row per vector
-      // (replication ≥ 1), so a smaller footer count marks it stale
+      // corpus): a genuine assignment for THIS corpus has between 1
+      // and 2 rows per vector (≤2-cell probing), so a footer count
+      // outside [nVecs, 2·nVecs] belongs to a different corpus
+      // generation — larger or smaller — and must be regenerated
       val slimReuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
         new java.io.File(slimDir).exists() &&
-        (try Tables.footerRowCount(spark, big, slimName) >= nVecs
-        catch { case _: Exception => false })
+        (try {
+          val n = Tables.footerRowCount(spark, big, slimName)
+          n >= nVecs && n <= 2L * nVecs
+        } catch { case _: Exception => false })
       val t0 = System.nanoTime()
       if (!slimReuse)
         Similarity.probedCellAssign(spark, big, pm)
@@ -309,8 +313,12 @@ object EmbedRecallSmoke {
           f"${cap.toDouble / Dedup.embedCosineMaxCellSizing(nVecs)}%.2f) ===")
         val cells = Similarity.shardCells(slim, cap).cache()
         val m = measure(cells)
-        if (first.isEmpty) first = Some(m)
-        else { m.unpersist(); cells.unpersist() }
+        // measure()'s per-tier collect fully materializes `measured`,
+        // so the corpus-scale cells cache is dead weight afterwards
+        // for EVERY rung — the margin/exact sections touch only the
+        // per-pair verdicts and the raw tables
+        cells.unpersist()
+        if (first.isEmpty) first = Some(m) else m.unpersist()
       }
       first.get
     }

@@ -21,6 +21,14 @@ for d in "$A" "$B"; do
   [[ -d $d ]] || { echo "classes dir not found: $d" >&2; exit 2; }
 done
 
+# Spark's log4j noise is suppressed from the interleave transcript but
+# KEPT in a log — a mid-A/B failure (bad query name, OOM) previously
+# vanished into 2>/dev/null and set -e aborted the run in silence, on
+# the very instrument designated as the adjudicator of record.
+ERRLOG="${AB_ERRLOG:-target/ab_querybench.err}"
+mkdir -p "$(dirname "$ERRLOG")"; : > "$ERRLOG"
+echo "stderr (Spark logging + any failure) -> $ERRLOG"
+
 OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
   java.base/java.io java.base/java.net java.base/java.nio java.base/java.util
@@ -36,7 +44,9 @@ run_one() { # classes-dir label
   echo "== $2 ($1)  loadavg $(cut -d' ' -f1 /proc/loadavg)"
   java "${JAVA_ARGS[@]}" -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC "-Xmx${SPARK_DRIVER_MEM:-8g}" \
-    -cp "$cp" graft.QueryBench "$ITERS" "$QUERIES" 2>/dev/null
+    -cp "$cp" graft.QueryBench "$ITERS" "$QUERIES" 2>>"$ERRLOG" ||
+    { echo "QueryBench FAILED for $2 — tail of $ERRLOG:" >&2
+      tail -5 "$ERRLOG" >&2; exit 3; }
 }
 
 for r in $(seq 1 "$ROUNDS"); do
