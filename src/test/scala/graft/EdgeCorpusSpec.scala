@@ -231,6 +231,24 @@ class EdgeCorpusSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
       assert(gotJ == refJ, s"corpus $i ngram: got $gotJ expected $refJ " +
         s"texts=$corpus")
+      // every 5th corpus (offset from the cluster sample): the tier-0
+      // MinHash-prefix filter must preserve the pair set on arbitrary
+      // degenerate shapes too, not just the gate corpus KnobsSpec pins.
+      // Tier-0 is a probabilistic discard whose loss is MEASURED zero
+      // (§8.4.3f formula-exact at 10M docs); under the committed seed
+      // this re-measures it per run over random degenerate corpora —
+      // a failure here would be the documented trade surfacing, with
+      // the corpus printed for the record.
+      if (i % 5 == 3) {
+        spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+        try {
+          val gotT0 = functions.Dedup.ddNgramJaccard(spark, d)
+            .select("doc_a", "doc_b", "jaccard")
+            .as[(Long, Long, Double)].collect().toSet
+          assert(gotT0 == refJ, s"corpus $i ngram tier-0: got $gotT0 " +
+            s"expected $refJ texts=$corpus")
+        } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+      }
       val gotMh = functions.Dedup.ddMinhashLsh(spark, d)
         .select("doc_a", "doc_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
