@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Fixture env vars for the Graft.envLong/envDouble override-parse
+// pins (an env var can't be set from inside the forked test JVM).
+Test / envVars ++= Map(
+  "GRAFT_TEST_ENV_LONG" -> " 42 ",
+  "GRAFT_TEST_ENV_DOUBLE" -> "0.375",
+  "GRAFT_TEST_ENV_BAD" -> "8k",
+)
 run / fork := true
 // The Bench/Verify contract is "print ONE JSON line" — sbt's default
 // LoggedOutput re-prefixes forked stdout with "[info] ", so the line

@@ -116,8 +116,8 @@ object Bench {
     def calibrate(): Calib = {
       val la = readLoadavg()
       val samples = Vector.fill(5)(sentinel())
-      val (smax, src) = sys.env.get("BENCH_SENTINEL_MAX")
-        .map(v => (v.toDouble, "env")).getOrElse {
+      val (smax, src) = Graft.envDouble("BENCH_SENTINEL_MAX")
+        .map(v => (v, "env")).getOrElse {
           if (la >= 0 && la < 1.0)
             (math.min(0.5, math.max(0.35, samples.min * 1.25)), "calibrated")
           else (0.35, "default")

@@ -99,4 +99,14 @@ object Graft {
           s"env var $name must be a long integer, got '$v'")
       }
     }
+
+  /** [[envLong]]'s Double sibling (e.g. `BENCH_SENTINEL_MAX=0.4`). */
+  def envDouble(name: String): Option[Double] =
+    sys.env.get(name).map { v =>
+      try v.trim.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"env var $name must be a number, got '$v'")
+      }
+    }
 }

@@ -522,4 +522,21 @@ class KnobsSpec extends AnyFunSuite {
           s"${rows.take(5).toSeq}")
     }
   }
+
+  test("env override parses name the knob on malformed input (envLong/envDouble)") {
+    // fixture values injected via Test/envVars in build.sbt — a forked
+    // test JVM cannot set its own environment
+    assert(Graft.envLong("GRAFT_TEST_ENV_LONG").contains(42L))
+    assert(Graft.envDouble("GRAFT_TEST_ENV_DOUBLE").contains(0.375))
+    assert(Graft.envLong("GRAFT_TEST_ENV_ABSENT").isEmpty)
+    assert(Graft.envDouble("GRAFT_TEST_ENV_ABSENT").isEmpty)
+    val eL = intercept[IllegalArgumentException](
+      Graft.envLong("GRAFT_TEST_ENV_BAD"))
+    val eD = intercept[IllegalArgumentException](
+      Graft.envDouble("GRAFT_TEST_ENV_BAD"))
+    Seq(eL, eD).foreach { e =>
+      assert(e.getMessage.contains("GRAFT_TEST_ENV_BAD") &&
+        e.getMessage.contains("8k"), e.getMessage)
+    }
+  }
 }
