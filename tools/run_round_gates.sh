@@ -61,7 +61,8 @@ stage_bench() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     tools/runmain.sh graft.Bench | tee "$LOGDIR/bench.raw" &&
     grep '"metric"' "$LOGDIR/bench.raw" | tail -1 >"$LOGDIR/bench.json" &&
-    [[ -s "$LOGDIR/bench.json" ]]
+    [[ -s "$LOGDIR/bench.json" ]] &&
+    python3 -m json.tool "$LOGDIR/bench.json" >/dev/null  # contract line must PARSE, not just exist
 }
 
 for s in "${STAGES[@]}"; do
