@@ -16,6 +16,8 @@ Test / envVars ++= Map(
   "GRAFT_TEST_ENV_LONG" -> " 42 ",
   "GRAFT_TEST_ENV_DOUBLE" -> "0.375",
   "GRAFT_TEST_ENV_BAD" -> "8k",
+  "GRAFT_TEST_ENV_NAN" -> "NaN",
+  "GRAFT_TEST_ENV_INF" -> "Infinity",
 )
 run / fork := true
 // The Bench/Verify contract is "print ONE JSON line" — sbt's default

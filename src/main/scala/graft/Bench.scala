@@ -176,26 +176,30 @@ object Bench {
     // (both builds alternating under the same host conditions); this
     // block is the within-artifact analogue that ships unattended.
     val supplementN = 8
-    val supplement: Option[Map[String, Double]] =
+    val supplement: Option[(Map[String, Double], Seq[String])] =
       if (best._2.min <= bestCalib.sentinelMax) None
       else Some {
         System.err.println(s"[bench] contended artifact: running min-of-7 " +
           s"supplement for the top $supplementN queries by artifact time")
-        results.toSeq.sortBy(-_._2.getOrElse(-1.0)).take(supplementN)
-          .flatMap { case (name, _) =>
+        val rows = results.toSeq.sortBy(-_._2.getOrElse(-1.0)).take(supplementN)
+          .map { case (name, _) =>
             val fn = SparkEntry.queries(name)
             // a throwing iteration records NO wall — same rule as the
             // suite passes (a query's fast time-to-failure must never
-            // win the min); a query with zero clean iterations is
-            // omitted from the supplement rather than shipped fake
+            // win the min); a query with zero clean iterations lands
+            // in the supplement's own "failed" list rather than being
+            // silently dropped (a round-over-round consumer must be
+            // able to tell "not re-run" from "attempted, all threw")
             val walls = (1 to 7).flatMap { _ =>
               val t0 = System.nanoTime()
               try { fn(spark, sfDir).count()
                 Some((System.nanoTime() - t0) / 1e9)
               } catch { case _: Throwable => None }
             }
-            walls.minOption.map(name -> _)
-          }.toMap
+            name -> walls.minOption
+          }
+        (rows.collect { case (n, Some(w)) => n -> w }.toMap,
+          rows.collect { case (n, None) => n })
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
@@ -208,10 +212,11 @@ object Bench {
       val samples = calib.map(s => f"$s%.3f").mkString("[", ",", "]")
       f"""{"loadavg1":$loadavg1%.2f,"samples":$samples,"sentinel_max":$sentinelMax%.3f,"source":"$calibSource","attempts":$tries,"contended":${best._2.min > sentinelMax}}"""
     }
-    val suppJson = supplement.map { m =>
+    val suppJson = supplement.map { case (m, suppFailed) =>
       val qs7 = m.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7}"""
+      val f7 = suppFailed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+      s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7,"failed":$f7}"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
     spark.stop()

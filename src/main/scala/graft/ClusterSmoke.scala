@@ -75,9 +75,11 @@ object ClusterSmoke {
       // resolve must DEGRADE like every step does, not crash the smoke
       // before any FAILED line prints (a missing/corrupt corpus throws
       // from the footer sweep): fall back to the 4096 floor and say so
+      // NonFatal only: an OutOfMemoryError/NoClassDefFoundError must
+      // abort the smoke, not degrade it to the floor in a corrupted JVM
       try Dedup.embedCosineMaxCellDefault(
         Tables.footerRowCount(spark, dir, "embeddings"))
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         println("cell cap resolve FAILED (" +
           String.valueOf(e.getMessage).takeWhile(_ != '\n') +
           "): falling back to the 4096 floor")

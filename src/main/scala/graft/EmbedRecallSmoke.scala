@@ -285,20 +285,32 @@ object EmbedRecallSmoke {
       val slimDir = s"$big/$slimName.parquet"
       // reuse must also survive a corpus swap under the same dir (the
       // 40k plumbing corpus's 63k-row assignment once rode under a 20M
-      // corpus): a genuine assignment for THIS corpus has between 1
-      // and 2 rows per vector (≤2-cell probing), so a footer count
-      // outside [nVecs, 2·nVecs] belongs to a different corpus
-      // generation — larger or smaller — and must be regenerated
+      // corpus): the assignment is stamped with the EXACT nVecs of the
+      // corpus that generated it (sidecar file next to the parquet) and
+      // reuse requires an exact match — a row-count window [nVecs,
+      // 2·nVecs] alone would accept a stale assignment from a similar-
+      // sized generation (e.g. factor 10→12 at ~1.3× replication),
+      // where vec_id mismatches surface only as elevated 'unmeasured'
+      // counts (r15 advisory). Pre-stamp assignments fail the guard
+      // and regenerate — strictly safe.
+      val stampFile = new java.io.File(s"$slimDir.nvecs")
       val slimReuse = sys.env.get("EMBED_SMOKE_REUSE").contains("1") &&
         new java.io.File(slimDir).exists() &&
         (try {
-          val n = Tables.footerRowCount(spark, big, slimName)
-          n >= nVecs && n <= 2L * nVecs
+          val stamped = new String(java.nio.file.Files.readAllBytes(
+            stampFile.toPath), "UTF-8").trim.toLong
+          stamped == nVecs
         } catch { case _: Exception => false })
       val t0 = System.nanoTime()
-      if (!slimReuse)
+      if (!slimReuse) {
         Similarity.probedCellAssign(spark, big, pm)
           .write.mode("overwrite").parquet(slimDir)
+        // stamp AFTER the write completes: a crash mid-write leaves no
+        // stamp, so the next run regenerates instead of reusing a torn
+        // assignment
+        java.nio.file.Files.write(stampFile.toPath,
+          nVecs.toString.getBytes("UTF-8"))
+      }
       val slim = spark.read.parquet(slimDir)
       val nRows = slim.count()
       println(f"assignment${if (slimReuse) " (REUSED)" else ""}: " +

@@ -100,13 +100,23 @@ object Graft {
       }
     }
 
-  /** [[envLong]]'s Double sibling (e.g. `BENCH_SENTINEL_MAX=0.4`). */
+  /** [[envLong]]'s Double sibling (e.g. `BENCH_SENTINEL_MAX=0.4`).
+    * Rejects non-finite values too, not just unparseable ones:
+    * `toDouble` happily accepts "NaN"/"Infinity", and a NaN
+    * `BENCH_SENTINEL_MAX` makes every `min > bound` comparison false —
+    * Bench would ship `contended: false` against a garbage bound
+    * (r15 verdict nit #4). */
   def envDouble(name: String): Option[Double] =
     sys.env.get(name).map { v =>
-      try v.trim.toDouble
-      catch { case _: NumberFormatException =>
+      val d =
+        try v.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"env var $name must be a number, got '$v'")
+        }
+      if (d.isNaN || d.isInfinite)
         throw new IllegalArgumentException(
-          s"env var $name must be a number, got '$v'")
-      }
+          s"env var $name must be a finite number, got '$v'")
+      d
     }
 }
