@@ -753,6 +753,10 @@ object Dedup {
         embedCosineMaxCellDefault(nVecs))
     embedRouteAdvisory(nVecs, exactMax).foreach(log.warn(_))
     embedCapAdvisory(nVecs, exactMax, cellCap).foreach(log.warn(_))
+    // the bucketed route's assignment shares ivfParts' per-vector
+    // aggregate shape — same sort-fallback spill regime at frontier N
+    if (nVecs > exactMax)
+      Similarity.sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -785,6 +789,11 @@ object Dedup {
       // mega-cell is near-uniform by construction — every shard is
       // full of its top pairs (pinned in FunctionsSpec on a 300-dup
       // blob). Cells under the cap get shards = 1: behavior unchanged.
+      // The MEASURED-cell advisory listener (round 16) complements the
+      // N-derived embedCapAdvisory above: it fires post-run from the
+      // observation riding the sharded stream whenever a real cell
+      // crossed the cap — the skewed-corpus case 4·√N cannot see.
+      ensureCellAdvisoryListener(spark)
       val a = embedCells(spark, dir, cellCap)
       a.alias("a").join(a.alias("b"),
           scoreOnceCond(a.columns.contains("other")))
@@ -947,6 +956,92 @@ object Dedup {
     else None
   }
 
+  /** Named observation riding the bucketed route's sharded cell
+    * stream ([[Similarity.shardCells]] / the unprobed window path in
+    * [[embedCells]]). */
+  private[graft] val cellMetricsName = "graft.embedCosine.cellStats"
+
+  /** Attach the MEASURED cell-distribution observation (round 16,
+    * closing the r15 lead finding): every row of the sharded stream
+    * carries its cell's post-replication member count (`cnt`), so a
+    * CollectMetrics here costs nothing — no extra pass, no exchange —
+    * and yields the PHYSICAL loss dial the §8.4.8d analysis names:
+    * the largest measured cell vs the cap. [[embedCapAdvisory]] keys
+    * on the N-derived `4·√N` sizing and is silent on a SKEWED corpus
+    * whose mega-cell crosses the cap while `cap ≥ 4·√N` — exactly the
+    * silent-loss class this observation closes.
+    *
+    * Only merge-idempotent aggregates (max) ride the observation: the
+    * subtree can execute more than once inside one query (self-join
+    * sides above a reused exchange re-run anything above the exchange,
+    * e.g. the unprobed window path), and a sum/count would silently
+    * double where a max cannot. */
+  private[graft] def observeCellMetrics(df: DataFrame, cellCap: Long): DataFrame =
+    df.observe(cellMetricsName,
+      max(col("cnt")).as("max_cell"),
+      max(lit(cellCap)).as("cap"))
+
+  /** The measured-cell advisory text: fires iff the largest measured
+    * post-replication cell CROSSES the cap — the exact condition under
+    * which hash-split shards exist and cross-shard pairs of that cell
+    * go unscored. Quotes the measured split arithmetic rather than the
+    * N-derived proxy. */
+  private[graft] def measuredCellAdvisory(maxCell: Long,
+      cellCap: Long): Option[String] =
+    if (cellCap > 0 && maxCell > cellCap) {
+      val shards = math.ceil(maxCell.toDouble / cellCap).toLong
+      Some(s"dd_embed_cosine MEASURED post-replication IVF cell of " +
+        s"$maxCell members crosses the cell cap $cellCap: that cell is " +
+        s"hash-split into $shards shards and ~" +
+        f"${(1.0 - 1.0 / shards) * 100}%.0f%% of ITS pairs are not " +
+        "scored (graceful for top-40 mining of near-uniform duplicate " +
+        "blobs — every shard is full of the blob's top pairs — but " +
+        "real loss for a genuinely skewed corpus; SURVEY 8.4.8d's " +
+        "cap/mean dial reaches the same regime at smaller N under " +
+        "skew). This advisory keys on the MEASURED cell distribution, " +
+        "not the 4*sqrt(N) sizing — raise graft.embedCosine.maxCell " +
+        "knowingly (per-task pair budget ~maxCell^2/2 scorings) or " +
+        "accept the split.")
+    } else None
+
+  /** Last measured-cell advisory fired by the session listener — test
+    * observability (the listener delivers asynchronously). */
+  private[graft] val lastMeasuredCellAdvisory =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  private val cellAdvisorySessions =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  /** Register (once per session) the QueryExecutionListener that turns
+    * the [[observeCellMetrics]] observation into a runtime warning.
+    * Delivery is post-query — the measured counts only exist once the
+    * assignment ran — which still tells the operator their freshly
+    * computed result lost cross-shard pairs, with the knob to re-run. */
+  private[graft] def ensureCellAdvisoryListener(spark: SparkSession): Unit = {
+    val fresh = cellAdvisorySessions.synchronized {
+      cellAdvisorySessions.put(spark, java.lang.Boolean.TRUE) == null
+    }
+    if (fresh)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(cellMetricsName).foreach { row =>
+              val i = row.fieldIndex("max_cell")
+              if (!row.isNullAt(i)) // empty stream → null max
+                measuredCellAdvisory(row.getLong(i),
+                    row.getAs[Long]("cap")).foreach { m =>
+                  lastMeasuredCellAdvisory.set(Some(m))
+                  log.warn(m)
+                }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+  }
+
   /** The effective boundary-probe margin — the
     * `graft.embedCosine.probeMargin` conf with its measured default
     * (0.01, §8.4.8b). Single-sourced here so EmbedRecallSmoke's cap
@@ -998,10 +1093,14 @@ object Dedup {
       val byCell = Window.partitionBy("cluster")
       Similarity.ivfParts(spark, dir)._3
         .repartition(col("cluster"))
-        .withColumn("shards",
-          ceil(count(lit(1)).over(byCell) / lit(cellCap.toDouble)).cast("long"))
-        .withColumn("shard", pmod(xxhash64(col("vec_id")), col("shards")))
-        .drop("shards")
+        .withColumn("cnt", count(lit(1)).over(byCell))
+        .withColumn("shard", pmod(xxhash64(col("vec_id")),
+          ceil(col("cnt") / lit(cellCap.toDouble)).cast("long")))
+        // same measured-cell observation as the probed path; max-only
+        // metrics stay correct though the window re-runs on both
+        // self-join sides above the reused exchange
+        .transform(observeCellMetrics(_, cellCap))
+        .drop("cnt")
     }
   }
 

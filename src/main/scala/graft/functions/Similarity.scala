@@ -18,6 +18,8 @@ import graft.Tables.t
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Spread a compute-dense frame across the cluster before a heavy
@@ -98,7 +100,46 @@ object Similarity {
     // step — a many-file table's footer sweep is sequential driver-side
     // metadata I/O, not something to do twice per query construction
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
+    sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
     ssIvfTopK(spark, dir, ivfNprobe(spark, nVecs), nVecs = nVecs)
+  }
+
+  /** Sort-fallback advisory (round 16, closing the r15 finding #2):
+    * the IVF assignment's per-vector aggregate (TopKAgg over the
+    * N×√N centroid-scored stream, [[ivfParts]] / `probedCellAssign`)
+    * plans as ObjectHashAggregate, whose PARTIAL side degrades to
+    * sort-based once a task sees more than
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct groups — and a sort-based partial SORTS
+    * AND SPILLS the whole scored stream. Harmless at gate SF; at
+    * frontier N in local mode it was measured filling the disk
+    * (~67 GB/task at 20M vectors, 625k groups/task — docs/SIZING.md,
+    * §8.4.8d). EmbedRecallSmoke sets the threshold to 2²¹ for its own
+    * runs; a user driving the shipped route had NO warning before the
+    * disk filled. This advisory names the knob when the estimated
+    * groups/task (footer N / defaultParallelism — each parallel slice
+    * of the scored stream sees ~all its vectors' groups) crosses the
+    * session threshold. Raising the threshold is cheap here: TopKAgg
+    * k ≤ 2 buffers are tens of bytes, so even millions of hash-resident
+    * groups per task are MBs, not the GBs the sort spill costs. */
+  private[graft] def sortFallbackAdvisory(spark: SparkSession,
+      nVecs: Long): Option[String] = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val threshold =
+      try spark.conf.get(key, "128").trim.toLong
+      catch { case _: NumberFormatException => 128L }
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val groupsPerTask = nVecs / par
+    if (groupsPerTask > threshold)
+      Some(s"IVF assignment over $nVecs vectors: ~$groupsPerTask " +
+        s"per-vector groups/task (parallelism $par) exceeds $key = " +
+        s"$threshold, so the partial ObjectHashAggregate degrades to " +
+        "sort-based and sorts/spills the N*sqrt(N) centroid-scored " +
+        "stream (measured ~67 GB/task at 20M vectors in local mode — " +
+        "docs/SIZING.md). Raise the threshold above the groups/task " +
+        "estimate (TopKAgg buffers are tens of bytes per group) to " +
+        "keep the partial aggregate hash-resident.")
+    else None
   }
 
   /** Probe width, CORPUS-SIZE-AWARE (measured, SURVEY §8.4.6): an
@@ -329,6 +370,12 @@ object Similarity {
       .join(broadcast(cnts), "cluster")
       .join(broadcast(cnts.select(col("cluster").as("o_cl"),
         col("cnt").as("o_cnt"))), col("other") === col("o_cl"), "left")
+      // MEASURED cell-distribution observation (round 16): every row
+      // carries its cell's post-replication count here, so a zero-cost
+      // CollectMetrics rides the stream and Dedup's session listener
+      // turns `max(cnt) > cap` — the physical split/loss condition —
+      // into a runtime advisory, independent of the 4·√N proxy
+      .transform(Dedup.observeCellMetrics(_, cellCap))
       .select(col("vec_id"), col("cluster"), shardOf(col("cnt")).as("shard"),
         col("other"), shardOf(col("o_cnt")).as("otherShard"))
   }
@@ -387,6 +434,7 @@ object Similarity {
     // shape the gate SFs have always dumped (byte-stable plans there)
     val capped = 2L * nprobe >= kCents
     val floor = ivfRecallFloor(nprobe, kCents)
+    sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
     val ivf = ssIvfTopK(spark, dir, nprobe, nVecs = nVecs)
       .select(col("q_id"), col("cand_id"))
     val exact = ssCosineTopK(spark, dir).select(col("q_id"), col("cand_id"))

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * that silently change which plan a conf value selects. */
 class KnobsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
-  import graft.functions.Dedup
+  import graft.functions.{Dedup, Similarity}
 
   private def withConf(kv: (String, String)*)(body: => Unit): Unit =
     try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
@@ -521,6 +521,90 @@ class KnobsSpec extends AnyFunSuite {
         s"conf-driven shard cap must keep scoring duplicate pairs: " +
           s"${rows.take(5).toSeq}")
     }
+  }
+
+  test("measured-cell advisory fires on a skewed corpus the 4*sqrt(N) proxy misses") {
+    // the r15 lead finding: embedCapAdvisory keys on the N-derived
+    // sizing 4*sqrt(N), so a SKEWED corpus whose mega-cell crosses the
+    // cap while cap >= 4*sqrt(N) lost cross-shard pairs with NO
+    // advisory. The round-16 observation rides the sharded stream and
+    // fires on the MEASURED max cell. Corpus: one Zipf-mass mega-
+    // cluster (600 identical vectors) + 60 spread vectors -> N = 660,
+    // 4*sqrt(N) ~ 104; cap 128 keeps the OLD advisory silent while the
+    // measured 600+-member cell crosses it.
+    import spark.implicits._
+    val rnd = new scala.util.Random(16)
+    val blob = (0 until 600).map(i => (i.toLong, Array.fill(32)(0.5f)))
+    val noise = (0 until 60).map(i =>
+      (600L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val d = java.nio.file.Files.createTempDirectory("knob-measured-cell").toString
+    (blob ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(Dedup.embedCapAdvisory(660L, 0L, 128L).isEmpty,
+      "precondition: the N-derived advisory must be silent at cap 128 >= 4*sqrt(660)")
+    Dedup.lastMeasuredCellAdvisory.set(None)
+    withConf("graft.embedCosine.exactMax" -> "0",
+        "graft.embedCosine.maxCell" -> "128") {
+      Dedup.ddEmbedCosine(spark, d).collect()
+    }
+    // the execution listener delivers asynchronously — poll for the
+    // advisory quoting THIS cap (a stale delivery from an earlier
+    // mega-cell test would quote its own cap and is ignored)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var adv: Option[String] = None
+    while (!adv.exists(_.contains("crosses the cell cap 128")) &&
+        System.nanoTime() < deadline) {
+      adv = Dedup.lastMeasuredCellAdvisory.get()
+      if (!adv.exists(_.contains("crosses the cell cap 128"))) Thread.sleep(50)
+    }
+    assert(adv.exists(_.contains("crosses the cell cap 128")) &&
+      adv.exists(_.contains("hash-split into 5 shards")), s"advisory: $adv")
+    // silent regime: nothing crosses a 4096 cap, so no 4096 advisory
+    // may appear (pure-function thresholds pinned below; the listener
+    // window here is best-effort, late stale deliveries quote old caps)
+    Dedup.lastMeasuredCellAdvisory.set(None)
+    withConf("graft.embedCosine.exactMax" -> "0",
+        "graft.embedCosine.maxCell" -> "4096") {
+      Dedup.ddEmbedCosine(spark, d).collect()
+    }
+    Thread.sleep(2000)
+    assert(!Dedup.lastMeasuredCellAdvisory.get().exists(_.contains("4096")),
+      s"no cell crosses 4096, got: ${Dedup.lastMeasuredCellAdvisory.get()}")
+  }
+
+  test("sort-fallback advisory fires past the groups/task threshold and names the knob") {
+    // the r15 landmine: the IVF assignment's per-vector partial
+    // aggregate degrades to sort-based past the session
+    // fallbackThreshold (default 128 groups/task) and spills the
+    // N*sqrt(N) scored stream — measured ~67 GB/task at 20M vectors.
+    // Fire/silent regimes per the estimate N / defaultParallelism:
+    val par = spark.sparkContext.defaultParallelism
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    // silent: groups/task under the default threshold (gate-SF corpora)
+    assert(Similarity.sortFallbackAdvisory(spark, 128L * par).isEmpty)
+    // fire: frontier N — the advisory must name the knob and the
+    // estimate so the operator can size the raise
+    val fired = Similarity.sortFallbackAdvisory(spark, 20L * 1000 * 1000)
+    assert(fired.exists(m => m.contains(key) &&
+      m.contains(s"${20L * 1000 * 1000 / par} ")), fired.toString)
+    // silent again once the operator raises the threshold past the
+    // estimate — the advisory reads the SESSION conf, not the default
+    withConf(key -> (20L * 1000 * 1000 / par + 1).toString) {
+      assert(Similarity.sortFallbackAdvisory(spark, 20L * 1000 * 1000).isEmpty)
+    }
+  }
+
+  test("measured-cell advisory thresholds (pure)") {
+    assert(Dedup.measuredCellAdvisory(128L, 128L).isEmpty)
+    assert(Dedup.measuredCellAdvisory(100L, 4096L).isEmpty)
+    val at2 = Dedup.measuredCellAdvisory(129L, 128L)
+    assert(at2.exists(m => m.contains("129 members") &&
+      m.contains("cell cap 128") && m.contains("2 shards") &&
+      m.contains("~50%")), at2.toString)
+    val at5 = Dedup.measuredCellAdvisory(600L, 128L)
+    assert(at5.exists(m => m.contains("5 shards") && m.contains("~80%")),
+      at5.toString)
   }
 
   test("env override parses name the knob on malformed input (envLong/envDouble)") {
