@@ -109,7 +109,22 @@ object EmbedRecallSmoke {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val big = "target/embed-recall-smoke"
+    // EMBED_SMOKE_SKEW=zipf swaps the uniform background for a corpus
+    // with HEAVY-TAILED CLUSTER MASSES (round 16, §8.4.8e): each
+    // background row joins a hub cluster drawn log-uniformly —
+    // j = ⌊J^u⌋, u uniform, so cluster masses follow ~1/j (Zipf s≈1;
+    // the largest hub holds ~N/ln(J) vectors) — with TIGHT noise
+    // (amp 0.02, the tightest background tier). This is the corpus
+    // shape §8.4.8d's caveat names: data-sampled centroids equalize
+    // EXPECTED cell mass, but a dense cluster's centroid count is
+    // Poisson, so heavy cluster masses widen the post-replication
+    // cell-size tail — the regime where the cap binds at smaller N
+    // than the isotropic rung→N mapping predicts.
+    val skew = sys.env.get("EMBED_SMOKE_SKEW")
+    require(skew.forall(_ == "zipf"),
+      s"env var EMBED_SMOKE_SKEW must be 'zipf' if set, got '${skew.get}'")
+    val big = if (skew.isDefined) "target/embed-recall-smoke-zipf"
+      else "target/embed-recall-smoke"
     val amps = Seq(0.005, 0.01, 0.02, 0.05, 0.1, 0.2)
     // EMBED_SMOKE_REUSE=1 skips corpus regeneration when the dirs
     // exist (the generator is deterministic, so reuse is exact). Also
@@ -131,15 +146,37 @@ object EmbedRecallSmoke {
     // the fan-out's stream side is the tiny source scan (1-2 tasks) —
     // without the repartition the whole 20M-row noise projection and
     // parquet encode of a frontier corpus runs near-serial (round 15)
-    val bg = e.crossJoin(spark.range(factor).select(col("id").as("copy")))
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-      .select((col("vec_id") + col("copy") * ne).as("vec_id"),
-        when(col("copy") === 0, col("embedding"))
-          .otherwise(transform(col("embedding"), (x, i) =>
-            (x + ((pmod(xxhash64(col("vec_id"), col("copy"), i), lit(2001))
-              - 1000).cast("double") / 1000.0 * bgAmp).cast("float"))
-              .cast("float"))).as("embedding"),
-        col("label"))
+    val bg = if (skew.isEmpty)
+      e.crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .select((col("vec_id") + col("copy") * ne).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), (x, i) =>
+              (x + ((pmod(xxhash64(col("vec_id"), col("copy"), i), lit(2001))
+                - 1000).cast("double") / 1000.0 * bgAmp).cast("float"))
+                .cast("float"))).as("embedding"),
+          col("label"))
+    else {
+      // Zipf-mass hubs: u = hash/2^30 uniform in [0,1), hub = ⌊ne^u⌋
+      // (log-uniform ⇒ P(hub = j) ∝ 1/j). The hub's source embedding
+      // arrives via a broadcast join on the tiny source table; noise
+      // amp is FIXED tight (0.02) so clusters cohere in IVF space and
+      // the mass skew — not the noise — drives the cell-size tail.
+      val u = pmod(xxhash64(col("row_id"), lit(16)), lit(1L << 30))
+        .cast("double") / (1L << 30).toDouble
+      val hubbed = spark.range(nBg).select(col("id").as("row_id"))
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .select(col("row_id"),
+          floor(pow(lit(ne.toDouble), u)).cast("long").as("hub_id"))
+      hubbed.join(broadcast(e.select(col("vec_id").as("hub_id"),
+          col("embedding"), col("label"))), "hub_id")
+        .select(col("row_id").as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + ((pmod(xxhash64(col("row_id"), col("hub_id"), i), lit(2001))
+              - 1000).cast("double") / 1000.0 * 0.02).cast("float"))
+              .cast("float")).as("embedding"),
+          col("label"))
+    }
 
     // -- planted pairs: disjoint bases per tier, partner ids ≥ PBASE --
     // base pick k ↦ (k·9973) mod nBg is injective while
@@ -317,12 +354,36 @@ object EmbedRecallSmoke {
         f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(rows $nRows = ${nRows.toDouble / nVecs}%.3fx replication, " +
         f"probeMargin $pm)")
+      // MEASURED cell-size distribution (round 16, §8.4.8e): the
+      // cap-independent per-cell post-replication counts — the
+      // physical quantity the shipped measured-cell advisory keys on.
+      // One tiny aggregate over the persisted assignment.
+      val cellDist = slim.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cells"), avg("cnt").as("mean"),
+          expr("percentile_approx(cnt, 0.5, 10000)").as("p50"),
+          expr("percentile_approx(cnt, 0.99, 10000)").as("p99"),
+          max("cnt").as("mx")).head()
+      val (nCells, meanCell, maxCell) =
+        (cellDist.getLong(0), cellDist.getDouble(1), cellDist.getLong(4))
+      println(f"cell distribution: $nCells cells, mean $meanCell%.1f, " +
+        f"p50 ${cellDist.getLong(2)}, p99 ${cellDist.getLong(3)}, " +
+        f"max $maxCell (max/mean ${maxCell / meanCell}%.2f)")
       var first: Option[org.apache.spark.sql.DataFrame] = None
       capLadder.foreach { cap =>
         println(s"\n=== cap $cap (uncapped sizing " +
           s"${Dedup.embedCosineMaxCellSizing(nVecs)}, shipping default " +
           s"${Dedup.embedCosineMaxCellDefault(nVecs)}, cap/sizing " +
-          f"${cap.toDouble / Dedup.embedCosineMaxCellSizing(nVecs)}%.2f) ===")
+          f"${cap.toDouble / Dedup.embedCosineMaxCellSizing(nVecs)}%.2f, " +
+          f"cap/meanCell ${cap / meanCell}%.2f) ===")
+        // echo exactly what the shipped measured-cell advisory says at
+        // this rung — the smoke validates the advisory's dial, so it
+        // must quote the advisory's own arithmetic
+        Dedup.measuredCellAdvisory(maxCell, cap) match {
+          case Some(m) => println(s"measured-cell advisory WOULD FIRE: " +
+            m.takeWhile(_ != '(').trim)
+          case None => println("measured-cell advisory silent " +
+            s"(max cell $maxCell <= cap $cap)")
+        }
         val cells = Similarity.shardCells(slim, cap).cache()
         val m = measure(cells)
         // measure()'s per-tier collect fully materializes `measured`,
