@@ -999,9 +999,10 @@ object Dedup {
         "real loss for a genuinely skewed corpus; SURVEY 8.4.8d's " +
         "cap/mean dial reaches the same regime at smaller N under " +
         "skew). This advisory keys on the MEASURED cell distribution, " +
-        "not the 4*sqrt(N) sizing — raise graft.embedCosine.maxCell " +
-        "knowingly (per-task pair budget ~maxCell^2/2 scorings) or " +
-        "accept the split.")
+        "not the 4*sqrt(N) sizing — set graft.embedCosine.maxCell >= " +
+        s"$maxCell to score this cell unsplit (per-task pair budget " +
+        "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
+        "split.")
     } else None
 
   /** Last measured-cell advisory fired by the session listener — test

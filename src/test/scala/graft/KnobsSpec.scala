@@ -15,9 +15,19 @@ class KnobsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf}
   import graft.functions.{Dedup, Similarity}
 
-  private def withConf(kv: (String, String)*)(body: => Unit): Unit =
+  // restore the PRIOR value, not unset: unset reverts a registered
+  // Spark conf to its SQLConf default, clobbering a session-builder
+  // value on the shared test session (e.g. Tables.configure's
+  // objectHashAggregate fallbackThreshold, asserted by
+  // GraftExtensionsSpec — a bare unset here failed it cross-suite)
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   test("graft.ngram.dfCapFactor scales the auto dfCap; explicit arg wins") {
     val n = Tables.footerRowCount(spark, sf, "documents")
@@ -601,7 +611,10 @@ class KnobsSpec extends AnyFunSuite {
     val at2 = Dedup.measuredCellAdvisory(129L, 128L)
     assert(at2.exists(m => m.contains("129 members") &&
       m.contains("cell cap 128") && m.contains("2 shards") &&
-      m.contains("~50%")), at2.toString)
+      m.contains("~50%") &&
+      // the advice must be actionable: the exact knob value that
+      // clears the split, not just "raise it"
+      m.contains("maxCell >= 129")), at2.toString)
     val at5 = Dedup.measuredCellAdvisory(600L, 128L)
     assert(at5.exists(m => m.contains("5 shards") && m.contains("~80%")),
       at5.toString)

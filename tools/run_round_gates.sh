@@ -10,7 +10,10 @@
 #                constants; ~10 min)
 #   4. cluster   sbt package + ClusterSmoke on local-cluster[4,8] — the
 #                §8.4.10 multi-executor deserialization regression check
-#   5. bench     the Bench contract line at sf0.1 (written to
+#   5. sweep     ClusterSweep: EVERY registered query under
+#                local-cluster + spark.jars, row counts vs local[32]
+#                (round 16 — the full-registry task-binary check)
+#   6. bench     the Bench contract line at sf0.1 (written to
 #                target/round_gate/bench.json, NOT BENCH_r*.json — the
 #                driver owns those)
 #
@@ -19,7 +22,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-if [[ $# -gt 0 ]]; then STAGES=("$@"); else STAGES=(test sf001 sf01 cluster bench); fi
+if [[ $# -gt 0 ]]; then STAGES=("$@"); else STAGES=(test sf001 sf01 cluster sweep bench); fi
 LOGDIR=target/round_gate
 mkdir -p "$LOGDIR"
 declare -A RESULT
@@ -57,6 +60,17 @@ stage_cluster() {
   cat "$LOGDIR/cluster.out"
   [[ $rc -eq 0 ]] && ! grep -q FAILED "$LOGDIR/cluster.out"
 }
+stage_sweep() {
+  # jar freshness is cluster's job (sbt package); when sweep runs alone
+  # it still packages to avoid a stale-jar false failure
+  sbt -batch package &&
+    SPARK_SCALA_VERSION=2.13 tools/runmain.sh graft.ClusterSweep \
+      /root/testdata/sf0.001 > "$LOGDIR/sweep.out" 2>"$LOGDIR/sweep.err"
+  local rc=$?
+  cat "$LOGDIR/sweep.out"
+  [[ $rc -eq 0 ]] && grep -q "row counts match" "$LOGDIR/sweep.out" &&
+    ! grep -q "MISMATCH\|FAILED" "$LOGDIR/sweep.out"
+}
 stage_bench() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     tools/runmain.sh graft.Bench | tee "$LOGDIR/bench.raw" &&
@@ -71,8 +85,9 @@ for s in "${STAGES[@]}"; do
     sf001)   run_stage sf001   stage_sf001 ;;
     sf01)    run_stage sf01    stage_sf01 ;;
     cluster) run_stage cluster stage_cluster ;;
+    sweep)   run_stage sweep   stage_sweep ;;
     bench)   run_stage bench   stage_bench ;;
-    *) echo "unknown stage: $s (expected test|sf001|sf01|cluster|bench)"; exit 2 ;;
+    *) echo "unknown stage: $s (expected test|sf001|sf01|cluster|sweep|bench)"; exit 2 ;;
   esac
 done
 
