@@ -956,10 +956,19 @@ object Dedup {
     else None
   }
 
-  /** Named observation riding the bucketed route's sharded cell
-    * stream ([[Similarity.shardCells]] / the unprobed window path in
-    * [[embedCells]]). */
-  private[graft] val cellMetricsName = "graft.embedCosine.cellStats"
+  /** Name PREFIX of the observation riding the bucketed route's
+    * sharded cell stream ([[Similarity.shardCells]] / the unprobed
+    * window path in [[embedCells]]). The full name is scoped by the
+    * observed subtree's semanticHash plus the cap: Spark rejects
+    * duplicate observation names on DIFFERENT plans
+    * (DUPLICATED_METRICS_NAME), so a composite query unioning two
+    * bucketed routes over different corpora must get distinct names —
+    * while identical constructions (self-join sides, a re-built
+    * route whose plan the KnobsSpec route-flip pins compare with
+    * `sameResult`) must KEEP the same name, or the pins and the
+    * duplicate-allowance for identical plans both break. The
+    * semanticHash gives exactly that equivalence. */
+  private[graft] val cellMetricsPrefix = "graft.embedCosine.cellStats"
 
   /** Attach the MEASURED cell-distribution observation (round 16,
     * closing the r15 lead finding): every row of the sharded stream
@@ -977,7 +986,9 @@ object Dedup {
     * e.g. the unprobed window path), and a sum/count would silently
     * double where a max cannot. */
   private[graft] def observeCellMetrics(df: DataFrame, cellCap: Long): DataFrame =
-    df.observe(cellMetricsName,
+    df.observe(
+      s"$cellMetricsPrefix/${Integer.toHexString(
+        df.queryExecution.analyzed.semanticHash())}/cap=$cellCap",
       max(col("cnt")).as("max_cell"),
       max(lit(cellCap)).as("cap"))
 
@@ -1028,14 +1039,19 @@ object Dedup {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            qe.observedMetrics.get(cellMetricsName).foreach { row =>
-              val i = row.fieldIndex("max_cell")
-              if (!row.isNullAt(i)) // empty stream → null max
-                measuredCellAdvisory(row.getLong(i),
-                    row.getAs[Long]("cap")).foreach { m =>
-                  lastMeasuredCellAdvisory.set(Some(m))
-                  log.warn(m)
-                }
+            // prefix match: a composite query can carry SEVERAL
+            // cell-stats observations (one per distinct route
+            // subtree) — advise on each
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(cellMetricsPrefix)) {
+                val i = row.fieldIndex("max_cell")
+                if (!row.isNullAt(i)) // empty stream → null max
+                  measuredCellAdvisory(row.getLong(i),
+                      row.getAs[Long]("cap")).foreach { m =>
+                    lastMeasuredCellAdvisory.set(Some(m))
+                    log.warn(m)
+                  }
+              }
             }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,

@@ -605,6 +605,31 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("two bucketed routes over different corpora compose in one query") {
+    // the observation must not make composite queries unanalyzable: a
+    // union of two bucketed routes carries two CollectMetrics nodes,
+    // and Spark rejects DUPLICATE observation names on DIFFERENT
+    // plans — so the name is scoped by the observed subtree's
+    // semanticHash (identical constructions share a name, which
+    // sameResult pins and self-joins require; different corpora get
+    // different names)
+    import spark.implicits._
+    def corpus(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      val d = java.nio.file.Files.createTempDirectory(s"knob-union-$seed").toString
+      (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding").withColumn("label", lit(0))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val (d1, d2) = (corpus(1), corpus(2))
+    withConf("graft.embedCosine.exactMax" -> "0") {
+      val u = Dedup.ddEmbedCosine(spark, d1)
+        .unionByName(Dedup.ddEmbedCosine(spark, d2))
+      assert(u.collect().length == 80)
+    }
+  }
+
   test("measured-cell advisory thresholds (pure)") {
     assert(Dedup.measuredCellAdvisory(128L, 128L).isEmpty)
     assert(Dedup.measuredCellAdvisory(100L, 4096L).isEmpty)
