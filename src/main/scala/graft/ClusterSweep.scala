@@ -45,6 +45,10 @@ object ClusterSweep {
         name -> res
       }.toMap
 
+    // resolve the jar BEFORE the local phase: a missing/stale jar
+    // should fail in a second, not after a full local[*] sweep
+    val jar = ClusterJar.resolve()
+
     // phase 1: the local[*] reference counts
     val local = Graft.sessionBuilder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,7 +63,6 @@ object ClusterSweep {
     org.apache.spark.sql.SparkSession.clearDefaultSession()
 
     // phase 2: the same registry under local-cluster + spark.jars
-    val jar = ClusterJar.resolve()
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
