@@ -34,12 +34,36 @@ object StreamSmoke {
     // native memory), not Java-heap row bytes — sizes are not
     // directly comparable across providers, plateau SHAPE is.
     val store = sys.env.getOrElse("STREAM_SMOKE_STORE", "hdfs")
-    val builder = Graft.sessionBuilder().master("local[32]")
+    // SCALE_SMOKE_MASTER=local-cluster[4,8,7168] runs the streaming
+    // micro-batches under REAL multi-executor task serialization
+    // (round 16): the nearDup streaming plan ships graft expression
+    // trees (shingles, band hashes) in stateful tasks every batch —
+    // exactly the §8.4.10 landmine class that local[32] can never
+    // exercise — so the streaming family needs the same spark.jars
+    // deployment check the batch families have.
+    val master = sys.env.getOrElse("SCALE_SMOKE_MASTER", "local[32]")
+    val builder = Graft.sessionBuilder().master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
     if (store == "rocksdb") builder.config(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (master.startsWith("local-cluster")) {
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.jars", ClusterJar.resolve())
+        .config("spark.executor.extraJavaOptions", opens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SCALE_SMOKE_EXEC_MEM", "7g"))
+    }
     val spark = builder.getOrCreate()
     println(s"state store provider: $store")
     import spark.implicits._
