@@ -438,6 +438,10 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(shingles(col("text")), typedLit(Seq.empty[String])).as("shs"))
       .repartition(col("doc_id"))
+    // the measured band-bucket advisory (round 16): warn post-run
+    // when any bucket measurably crossed the cap — the near-verbatim-
+    // blob silent-loss case the scaladoc below can only describe
+    ensureCapAdvisoryListener(spark)
     // shared two-tier exact verification (see exactVerify)
     exactVerify(minhashCandidates(base), base)
       .orderBy("doc_a", "doc_b")
@@ -460,9 +464,18 @@ object Dedup {
     * band leaves recall intact (the lsh == exact spec and the DuckDB
     * oracle pin this at the gate SFs, where no bucket nears the cap);
     * run dd_exact first so giant IDENTICAL-doc clusters never reach
-    * the near-dup pass. The cap is a deterministic function of the
-    * corpus, so the operator stays oracle-checkable. Default mirrors
-    * the streaming variant's per-bucket member cap. */
+    * the near-dup pass. The residual risk (round 16) is a
+    * NEAR-verbatim blob larger than the cap — dd_exact does not
+    * collapse it, its members share most minhash slots, so it crosses
+    * in ALL its bands at once and its pairs silently lose candidacy.
+    * The [[observeCapMetrics]] observation on the pre-filter stream +
+    * [[minhashBucketAdvisory]] make that measurable at runtime
+    * (max bucket vs cap — fires exactly when a bucket is dropped),
+    * pinned in KnobsSpec on a near-verbatim blob where the drop is
+    * demonstrated against the found-at-default control. The cap is a
+    * deterministic function of the corpus, so the operator stays
+    * oracle-checkable. Default mirrors the streaming variant's
+    * per-bucket member cap. */
   private[graft] def minhashCandidates(docs: DataFrame,
       maxBucket: Int = -1): DataFrame = {
     val cap =
@@ -480,6 +493,13 @@ object Dedup {
     val kept = bands
       .withColumn("bucket_m", count(lit(1)).over(
         Window.partitionBy("band_idx", "band_hash")))
+      // measured-bucket observation BEFORE the drop filter: every row
+      // carries its bucket's member count, so max(bucket_m) vs cap is
+      // free and the listener advisory fires on the measured quantity
+      // (max-only metrics — the window re-runs on both self-join
+      // sides above the reused band exchange)
+      .transform(observeCapMetrics(_, bucketMetricsPrefix,
+        col("bucket_m"), cap))
       .where(col("bucket_m") <= cap)
       .drop("bucket_m")
     kept.alias("a").join(kept.alias("b"),
@@ -793,7 +813,7 @@ object Dedup {
       // N-derived embedCapAdvisory above: it fires post-run from the
       // observation riding the sharded stream whenever a real cell
       // crossed the cap — the skewed-corpus case 4·√N cannot see.
-      ensureCellAdvisoryListener(spark)
+      ensureCapAdvisoryListener(spark)
       val a = embedCells(spark, dir, cellCap)
       a.alias("a").join(a.alias("b"),
           scoreOnceCond(a.columns.contains("other")))
@@ -986,11 +1006,60 @@ object Dedup {
     * e.g. the unprobed window path), and a sum/count would silently
     * double where a max cannot. */
   private[graft] def observeCellMetrics(df: DataFrame, cellCap: Long): DataFrame =
+    observeCapMetrics(df, cellMetricsPrefix, col("cnt"), cellCap)
+
+  /** Name PREFIX of the [[minhashCandidates]] band-bucket observation
+    * — the minhash analogue of [[cellMetricsPrefix]] (round 16): a
+    * band bucket over `graft.minhash.maxBucket` is DROPPED, and while
+    * scattered degenerate bands are harmless (a true pair collides in
+    * ~4 of 16 bands), a NEAR-VERBATIM blob larger than the cap — the
+    * one thing `dd_exact` does NOT collapse — crosses in ALL its
+    * bands and its pairs silently lose candidacy. Same machinery,
+    * same listener, own advisory. */
+  private[graft] val bucketMetricsPrefix = "graft.minhash.bucketStats"
+
+  /** The shared cap-observation shape: max-only metrics (see
+    * [[observeCellMetrics]]'s re-execution note) under a name scoped
+    * by the observed subtree's semanticHash + cap (see
+    * [[cellMetricsPrefix]]'s composability note).
+    *
+    * Known corner, measured (round 16): when the query's WHOLE result
+    * is empty, AQE's empty-relation propagation replans the remainder
+    * to an EmptyRelation and the CollectMetrics node is pruned with
+    * it — `observedMetrics` then has nothing to deliver, so a
+    * fully-degenerate run (every candidate dropped) does not advise.
+    * The realistic silent-loss shape — a capped blob amid a corpus
+    * that still yields results — delivers fine (pinned in KnobsSpec);
+    * a globally-empty dedup result is its own unmissable signal. */
+  private[graft] def observeCapMetrics(df: DataFrame, prefix: String,
+      cnt: Column, cap: Long): DataFrame =
     df.observe(
-      s"$cellMetricsPrefix/${Integer.toHexString(
-        df.queryExecution.analyzed.semanticHash())}/cap=$cellCap",
-      max(col("cnt")).as("max_cell"),
-      max(lit(cellCap)).as("cap"))
+      s"$prefix/${Integer.toHexString(
+        df.queryExecution.analyzed.semanticHash())}/cap=$cap",
+      max(cnt).as("max_cnt"),
+      max(lit(cap)).as("cap"))
+
+  /** The measured band-bucket advisory: fires iff the largest
+    * measured band bucket crosses the member cap — i.e. at least one
+    * bucket is being dropped from candidate generation. */
+  private[graft] def minhashBucketAdvisory(maxBucket: Long,
+      cap: Long): Option[String] =
+    if (cap > 0 && maxBucket > cap)
+      Some(s"dd_minhash_lsh MEASURED band bucket of $maxBucket members " +
+        s"crosses graft.minhash.maxBucket = $cap and is DROPPED from " +
+        "candidate generation. Scattered degenerate bands are harmless " +
+        "(a true j>=0.5 pair collides in ~4 of 16 bands), but a " +
+        "NEAR-VERBATIM blob larger than the cap — which dd_exact does " +
+        "NOT collapse — crosses in ALL its bands and its pairs are " +
+        "silently lost. Collapse blobs first (dd_exact, then near-dup " +
+        s"on the residue), or set graft.minhash.maxBucket >= $maxBucket " +
+        "knowingly (per-bucket candidate budget ~m^2/2 instances).")
+    else None
+
+  /** Last band-bucket advisory fired — test observability, the
+    * [[lastMeasuredCellAdvisory]] sibling. */
+  private[graft] val lastBucketAdvisory =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
   /** The measured-cell advisory text: fires iff the largest measured
     * post-replication cell CROSSES the cap — the exact condition under
@@ -1021,7 +1090,7 @@ object Dedup {
   private[graft] val lastMeasuredCellAdvisory =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
-  private val cellAdvisorySessions =
+  private val capAdvisorySessions =
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   /** Register (once per session) the QueryExecutionListener that turns
@@ -1029,9 +1098,9 @@ object Dedup {
     * Delivery is post-query — the measured counts only exist once the
     * assignment ran — which still tells the operator their freshly
     * computed result lost cross-shard pairs, with the knob to re-run. */
-  private[graft] def ensureCellAdvisoryListener(spark: SparkSession): Unit = {
-    val fresh = cellAdvisorySessions.synchronized {
-      cellAdvisorySessions.put(spark, java.lang.Boolean.TRUE) == null
+  private[graft] def ensureCapAdvisoryListener(spark: SparkSession): Unit = {
+    val fresh = capAdvisorySessions.synchronized {
+      capAdvisorySessions.put(spark, java.lang.Boolean.TRUE) == null
     }
     if (fresh)
       spark.listenerManager.register(
@@ -1039,16 +1108,23 @@ object Dedup {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            // prefix match: a composite query can carry SEVERAL
-            // cell-stats observations (one per distinct route
-            // subtree) — advise on each
+            // prefix match: a composite query can carry SEVERAL cap
+            // observations (one per distinct route subtree) — advise
+            // on each, dispatching by prefix
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith(cellMetricsPrefix)) {
-                val i = row.fieldIndex("max_cell")
+              val sink: Option[(Long, Long) => Option[String]] =
+                if (name.startsWith(cellMetricsPrefix))
+                  Some(measuredCellAdvisory(_, _))
+                else if (name.startsWith(bucketMetricsPrefix))
+                  Some(minhashBucketAdvisory(_, _))
+                else None
+              sink.foreach { advise =>
+                val i = row.fieldIndex("max_cnt")
                 if (!row.isNullAt(i)) // empty stream → null max
-                  measuredCellAdvisory(row.getLong(i),
-                      row.getAs[Long]("cap")).foreach { m =>
-                    lastMeasuredCellAdvisory.set(Some(m))
+                  advise(row.getLong(i), row.getAs[Long]("cap")).foreach { m =>
+                    (if (name.startsWith(cellMetricsPrefix))
+                      lastMeasuredCellAdvisory else lastBucketAdvisory)
+                      .set(Some(m))
                     log.warn(m)
                   }
               }

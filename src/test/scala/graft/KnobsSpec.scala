@@ -630,6 +630,64 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash bucket advisory fires when a near-verbatim blob crosses the cap") {
+    // the minhash analogue of the embed silent-loss class (round 16):
+    // a NEAR-verbatim blob — same text, tiny per-doc tail, so
+    // dd_exact does NOT collapse it — shares most minhash slots, so
+    // past the bucket cap it crosses in ALL its bands at once and its
+    // pairs silently lose candidacy. Control: at the 1024 default the
+    // 80-member blob is found (3160 pairs = C(80,2)); at cap 8 the
+    // SAME corpus returns zero blob pairs and the measured-bucket
+    // advisory fires quoting the measured bucket.
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    // 80-member near-verbatim blob + 2 healthy near-dup pairs whose
+    // small buckets SURVIVE the cap: the realistic silent-loss shape
+    // (and the shape the observation can actually report — see the
+    // AQE empty-result note on observeCapMetrics: a query whose whole
+    // result is empty is collapsed to an EmptyRelation and the
+    // observation is pruned with it)
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pairB = "one two three four five six seven eight nine ten eleven"
+    val docs = (0 until 80).map(i => (i.toLong, s"$blobText tail$i")) ++
+      Seq((900L, s"$pairA endings"), (901L, s"$pairA closings"),
+        (910L, s"$pairB endings"), (911L, s"$pairB closings"))
+    val d = java.nio.file.Files.createTempDirectory("knob-minhash-blob").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val atDefault = Dedup.ddMinhashLsh(spark, d).count()
+    assert(atDefault == 80L * 79 / 2 + 2,
+      s"control: blob + both healthy pairs found at the default cap, got $atDefault")
+    Dedup.lastBucketAdvisory.set(None)
+    withConf("graft.minhash.maxBucket" -> "8") {
+      val capped = Dedup.ddMinhashLsh(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(capped.forall(_._1 >= 900L) && capped.length == 2,
+        s"cap 8 must drop every all-bands-crossing blob pair and keep " +
+          s"the healthy pairs, got ${capped.length}: ${capped.take(5).toSeq}")
+    }
+    // the measured bucket is the blob's LARGEST band bucket — a few
+    // members' differing tail tokens perturb some slots, so it sits
+    // slightly under the 80-doc blob size; parse and bound it
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val bucketRe = """band bucket of (\d+) members""".r
+    def fired = Dedup.lastBucketAdvisory.get().exists(m =>
+      m.contains("maxBucket = 8") &&
+        bucketRe.findFirstMatchIn(m).exists(_.group(1).toLong >= 70L))
+    while (!fired && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(fired, s"advisory: ${Dedup.lastBucketAdvisory.get()}")
+  }
+
+  test("minhash bucket advisory thresholds (pure)") {
+    assert(Dedup.minhashBucketAdvisory(1024L, 1024L).isEmpty)
+    assert(Dedup.minhashBucketAdvisory(12L, 1024L).isEmpty)
+    val at = Dedup.minhashBucketAdvisory(4000L, 1024L)
+    assert(at.exists(m => m.contains("4000 members") &&
+      m.contains("maxBucket = 1024") && m.contains("maxBucket >= 4000")),
+      at.toString)
+  }
+
   test("measured-cell advisory thresholds (pure)") {
     assert(Dedup.measuredCellAdvisory(128L, 128L).isEmpty)
     assert(Dedup.measuredCellAdvisory(100L, 4096L).isEmpty)
