@@ -130,7 +130,21 @@ object Dedup {
     * sub-cap shared shingle keeps it reachable, and verification is
     * exact regardless. A constant cap either binds never (small corpora)
     * or too late (at 100 TB a df-100k shingle still admits ~10¹⁰ pair
-    * instances). */
+    * instances).
+    *
+    * Blob corner (round 16, the third sibling of the embed maxCell and
+    * minhash maxBucket silent-loss class): a NEAR-verbatim blob of
+    * m > dfCap members gives every blob-shared shingle df ≈ m, so ALL
+    * of a blob pair's shared shingles are capped and the pair is
+    * missed — the dup-farm case, not boilerplate. Here the drop is
+    * structural to the stop-shingle design (df-capped shingles are
+    * EXPECTED on every real corpus, so a max(df) observation would
+    * always fire and carry no signal — unlike the other two caps where
+    * any crossing means a dropped bucket/split cell), so the guard is
+    * OPERATIONAL, same as §8.4.8e's: sequence `dd_exact` /
+    * `dd_minhash_lsh` first — the minhash bucket advisory fires on
+    * exactly these blobs — and run ngram on the residue
+    * (docs/SIZING.md, blob section). */
   def ddNgramJaccard(spark: SparkSession, dir: String, dfCap: Int = -1): DataFrame =
     // gate-friendly ordering lives HERE, in the registration-facing
     // form; composing operators (ddCluster) consume the unordered core
