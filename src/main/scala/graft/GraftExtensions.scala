@@ -100,6 +100,64 @@ object Graft {
       }
     }
 
+  /** Session-scoped runtime-advisory ledger (round 17, closing the
+    * r16 finding that every advisory was WARN-log-only): each entry is
+    * one fired advisory message — route selection, cap sizing, the
+    * measured cell/bucket silent-loss warnings, the sort-fallback
+    * spill warning, the streaming drop bound. `log.warn` alone is a
+    * footgun here because `sparkContext.setLogLevel("ERROR")` — the
+    * usual move to silence Spark's own noise — silences the advisories
+    * too (docs/SIZING.md, advisory-visibility paragraph); the ledger
+    * gives a programmatic consumer (an orchestrator retrying with a
+    * raised knob, a test) something to READ regardless of log config.
+    *
+    * Keyed weakly by session so a stopped session's ledger is
+    * collectable; bounded to the newest [[advisoryLedgerCap]] entries
+    * so a long-lived session polling a capped route cannot grow it
+    * unboundedly. Entries are appended by the DRIVER only (route
+    * construction and the QueryExecutionListener both run driver-side),
+    * so the ledger is complete even on a real cluster. */
+  private val advisoryLedgers =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  private val advisoryLedgerCap = 256
+
+  private def ledger(spark: org.apache.spark.sql.SparkSession) =
+    advisoryLedgers.synchronized {
+      var q = advisoryLedgers.get(spark)
+      if (q == null) {
+        q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        advisoryLedgers.put(spark, q)
+      }
+      q
+    }
+
+  /** Fire a runtime advisory: append to the session ledger AND warn on
+    * the owning module's logger (single entry point, so the two
+    * channels can never disagree). Listener-delivered advisories arrive
+    * asynchronously — consumers polling [[advisories]] right after an
+    * action should poll briefly, as the specs do. */
+  private[graft] def advise(spark: org.apache.spark.sql.SparkSession,
+      msg: String, log: org.slf4j.Logger): Unit = {
+    val q = ledger(spark)
+    q.add(msg)
+    while (q.size > advisoryLedgerCap) q.poll()
+    log.warn(msg)
+  }
+
+  /** Every advisory fired in this session, oldest first (bounded to
+    * the newest 256) — the programmatic channel for the runtime
+    * warnings described in docs/SIZING.md. */
+  def advisories(spark: org.apache.spark.sql.SparkSession): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    ledger(spark).asScala.toSeq
+  }
+
+  /** Drop this session's recorded advisories (e.g. between phases of
+    * an orchestrated run, so each phase reads only its own). */
+  def clearAdvisories(spark: org.apache.spark.sql.SparkSession): Unit =
+    ledger(spark).clear()
+
   /** [[envLong]]'s Double sibling (e.g. `BENCH_SENTINEL_MAX=0.4`).
     * Rejects non-finite values too, not just unparseable ones:
     * `toDouble` happily accepts "NaN"/"Infinity", and a NaN

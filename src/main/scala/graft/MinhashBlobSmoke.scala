@@ -50,33 +50,39 @@ object MinhashBlobSmoke {
     println(s"corpus: ${nBg + blob} docs ($copies x sf0.1 background + " +
       s"$blob-member near-verbatim blob), default maxBucket 1024")
 
-    def run(tag: String): Long = {
-      graft.functions.Dedup.lastBucketAdvisory.set(None)
+    def run(tag: String, expectAdvisory: Boolean): Long = {
+      Graft.clearAdvisories(spark)
       val t0 = System.nanoTime()
       val df = graft.functions.Dedup.ddMinhashLsh(spark, big)
       // count the FULL (non-empty) result first: the observation
       // delivers on this execution — a blob-slice count alone is an
       // EMPTY query at the default cap and AQE's empty-relation
-      // propagation prunes the observation with the plan (the
-      // documented observeCapMetrics corner, re-measured here)
+      // propagation prunes the observation with the plan (since round
+      // 17 that corner fires prunedObservationAdvisory instead of the
+      // measured one; this smoke measures the MEASURED path)
       val total = df.count()
       val blobPairs = df
         .where(col("doc_a") >= nBg && col("doc_b") >= nBg).count()
       println(f"[$tag] pairs total $total%10d, blob $blobPairs%10d " +
         f"(expected full ${blob.toLong * (blob - 1) / 2}) " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
-      // the listener delivers asynchronously; poll briefly
+      // the listener delivers asynchronously; poll the session ledger
+      def advisory = Graft.advisories(spark).find(_.contains("band bucket"))
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (graft.functions.Dedup.lastBucketAdvisory.get().isEmpty &&
-        System.nanoTime() < deadline) Thread.sleep(100)
+      while (advisory.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
       println(s"[$tag] advisory: " +
-        graft.functions.Dedup.lastBucketAdvisory.get()
-          .map(_.takeWhile(_ != '.')).getOrElse("(silent)"))
+        advisory.map(_.takeWhile(_ != '.')).getOrElse("(silent)"))
+      // the advisory firing at scale is the POINT of this smoke: a
+      // regression where the capped run drops the blob silently must
+      // fail here, not print "(silent)" and pass on counts alone
+      require(advisory.isDefined == expectAdvisory,
+        s"[$tag] expected advisory fired=$expectAdvisory, got $advisory")
       blobPairs
     }
-    val atDefault = run("cap=1024 (default)")
+    val atDefault = run("cap=1024 (default)", expectAdvisory = true)
     spark.conf.set("graft.minhash.maxBucket", (blob + 100).toString)
-    val raised = run(s"cap=${blob + 100}")
+    val raised = run(s"cap=${blob + 100}", expectAdvisory = false)
     require(atDefault == 0 && raised == blob.toLong * (blob - 1) / 2,
       s"unexpected: default=$atDefault raised=$raised")
     spark.stop()

@@ -165,7 +165,7 @@ object Dedup {
     ngramShuffleWarning(nDocs, slots,
         confLong(spark, "graft.ngram.warnDocs", 4000000L),
         confLong(spark, "graft.ngram.tier0WarnDocs", 8000000L))
-      .foreach(log.warn(_))
+      .foreach(graft.Graft.advise(spark, _, log))
     exactVerify(ngramCandidatesFrom(base,
         if (dfCap > 0) dfCap else capForDocs(spark, nDocs)), base,
       mhPrefixSlots = slots,
@@ -785,12 +785,13 @@ object Dedup {
       if (maxCell > 0) maxCell
       else confLong(spark, "graft.embedCosine.maxCell",
         embedCosineMaxCellDefault(nVecs))
-    embedRouteAdvisory(nVecs, exactMax).foreach(log.warn(_))
-    embedCapAdvisory(nVecs, exactMax, cellCap).foreach(log.warn(_))
+    embedRouteAdvisory(nVecs, exactMax).foreach(graft.Graft.advise(spark, _, log))
+    embedCapAdvisory(nVecs, exactMax, cellCap).foreach(graft.Graft.advise(spark, _, log))
     // the bucketed route's assignment shares ivfParts' per-vector
     // aggregate shape — same sort-fallback spill regime at frontier N
     if (nVecs > exactMax)
-      Similarity.sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
+      Similarity.sortFallbackAdvisory(spark, nVecs)
+        .foreach(graft.Graft.advise(spark, _, log))
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1037,14 +1038,17 @@ object Dedup {
     * by the observed subtree's semanticHash + cap (see
     * [[cellMetricsPrefix]]'s composability note).
     *
-    * Known corner, measured (round 16): when the query's WHOLE result
-    * is empty, AQE's empty-relation propagation replans the remainder
-    * to an EmptyRelation and the CollectMetrics node is pruned with
-    * it — `observedMetrics` then has nothing to deliver, so a
-    * fully-degenerate run (every candidate dropped) does not advise.
-    * The realistic silent-loss shape — a capped blob amid a corpus
-    * that still yields results — delivers fine (pinned in KnobsSpec);
-    * a globally-empty dedup result is its own unmissable signal. */
+    * Known corner, measured (round 16), GUARDED (round 17): when the
+    * query's WHOLE result is empty, AQE's empty-relation propagation
+    * replans the remainder to an EmptyRelation and the CollectMetrics
+    * node is pruned with it — `observedMetrics` then has nothing to
+    * deliver, so a fully-degenerate run (every candidate dropped)
+    * cannot advise with MEASURED numbers. The listener detects that
+    * shape (observation declared in the analyzed plan, absent from
+    * `observedMetrics`) and fires [[prunedObservationAdvisory]]
+    * instead, pinned in KnobsSpec on a pure-blob corpus. The realistic
+    * partial-loss shape — a capped blob amid a corpus that still
+    * yields results — delivers the measured advisory as before. */
   private[graft] def observeCapMetrics(df: DataFrame, prefix: String,
       cnt: Column, cap: Long): DataFrame =
     df.observe(
@@ -1070,11 +1074,6 @@ object Dedup {
         "knowingly (per-bucket candidate budget ~m^2/2 instances).")
     else None
 
-  /** Last band-bucket advisory fired — test observability, the
-    * [[lastMeasuredCellAdvisory]] sibling. */
-  private[graft] val lastBucketAdvisory =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-
   /** The measured-cell advisory text: fires iff the largest measured
     * post-replication cell CROSSES the cap — the exact condition under
     * which hash-split shards exist and cross-shard pairs of that cell
@@ -1099,19 +1098,50 @@ object Dedup {
         "split.")
     } else None
 
-  /** Last measured-cell advisory fired by the session listener — test
-    * observability (the listener delivers asynchronously). */
-  private[graft] val lastMeasuredCellAdvisory =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-
   private val capAdvisorySessions =
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
+  /** True iff `name` is one of this module's cap observations — the
+    * listener's dispatch predicate AND the pruned-observation scan's. */
+  private def isCapObservation(name: String): Boolean =
+    name.startsWith(cellMetricsPrefix) || name.startsWith(bucketMetricsPrefix)
+
+  /** The generic fallback for a cap observation that was DECLARED in
+    * the analyzed plan but never delivered (round 17, closing the r16
+    * lead finding): AQE's empty-relation propagation replans an
+    * empty-at-runtime subtree to an EmptyRelation and prunes the
+    * CollectMetrics node with it — which happens EXACTLY when loss is
+    * total (e.g. a pure near-verbatim blob corpus where every band
+    * bucket crosses the cap: zero candidates survive, the result is
+    * empty, and the measured advisory the case most needs has no
+    * metrics to deliver). This advisory cannot quote the measured
+    * max — the observation never ran to completion — so it names the
+    * condition and the knob generically, with the cap parsed from the
+    * observation name. */
+  private[graft] def prunedObservationAdvisory(name: String): String = {
+    val (op, knob) =
+      if (name.startsWith(cellMetricsPrefix))
+        ("dd_embed_cosine", "graft.embedCosine.maxCell")
+      else ("dd_minhash_lsh", "graft.minhash.maxBucket")
+    val cap = name.split("/cap=").lift(1).getOrElse("?")
+    s"$op: result is EMPTY and the cap observation was pruned with the " +
+      "empty plan (AQE empty-relation propagation), so no measured " +
+      s"advisory is available — the cap ($knob = $cap) may have dropped " +
+      "EVERY candidate (a fully-degenerate corpus, e.g. one near-verbatim " +
+      "blob larger than the cap, hits exactly this). Collapse blobs first " +
+      s"(dd_exact, then near-dup on the residue) or re-run with $knob " +
+      "raised past the largest duplicate-blob size."
+  }
+
   /** Register (once per session) the QueryExecutionListener that turns
-    * the [[observeCellMetrics]] observation into a runtime warning.
+    * the [[observeCellMetrics]] / [[minhashCandidates]] observations
+    * into runtime advisories (ledger + WARN, [[graft.Graft.advise]]).
     * Delivery is post-query — the measured counts only exist once the
     * assignment ran — which still tells the operator their freshly
-    * computed result lost cross-shard pairs, with the knob to re-run. */
+    * computed result lost cross-shard pairs, with the knob to re-run.
+    * Observations PRESENT in the analyzed plan but ABSENT from
+    * `observedMetrics` were pruned by AQE's empty-relation propagation
+    * (the 100%-loss corner) and fire [[prunedObservationAdvisory]]. */
   private[graft] def ensureCapAdvisoryListener(spark: SparkSession): Unit = {
     val fresh = capAdvisorySessions.synchronized {
       capAdvisorySessions.put(spark, java.lang.Boolean.TRUE) == null
@@ -1121,11 +1151,12 @@ object Dedup {
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
+              durationNs: Long): Unit = {
+            val delivered = qe.observedMetrics
             // prefix match: a composite query can carry SEVERAL cap
             // observations (one per distinct route subtree) — advise
             // on each, dispatching by prefix
-            qe.observedMetrics.foreach { case (name, row) =>
+            delivered.foreach { case (name, row) =>
               val sink: Option[(Long, Long) => Option[String]] =
                 if (name.startsWith(cellMetricsPrefix))
                   Some(measuredCellAdvisory(_, _))
@@ -1135,14 +1166,25 @@ object Dedup {
               sink.foreach { advise =>
                 val i = row.fieldIndex("max_cnt")
                 if (!row.isNullAt(i)) // empty stream → null max
-                  advise(row.getLong(i), row.getAs[Long]("cap")).foreach { m =>
-                    (if (name.startsWith(cellMetricsPrefix))
-                      lastMeasuredCellAdvisory else lastBucketAdvisory)
-                      .set(Some(m))
-                    log.warn(m)
-                  }
+                  advise(row.getLong(i), row.getAs[Long]("cap"))
+                    .foreach(graft.Graft.advise(qe.sparkSession, _, log))
               }
             }
+            // pruned-observation fallback: every cap observation the
+            // ANALYZED plan declares must have delivered; one that
+            // didn't was replanned away with an empty subtree — advise
+            // generically, since the measured max no longer exists.
+            // (distinct: identical self-join sides above a reused
+            // exchange carry the same semanticHash-scoped name twice
+            // in the analyzed plan but deliver once.)
+            qe.analyzed.collect {
+              case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                  if isCapObservation(c.name) => c.name
+            }.distinct.filterNot(delivered.contains).foreach { name =>
+              graft.Graft.advise(qe.sparkSession,
+                prunedObservationAdvisory(name), log)
+            }
+          }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               exception: Exception): Unit = ()

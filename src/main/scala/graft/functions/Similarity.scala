@@ -100,7 +100,7 @@ object Similarity {
     // step — a many-file table's footer sweep is sequential driver-side
     // metadata I/O, not something to do twice per query construction
     val nVecs = graft.Tables.footerRowCount(spark, dir, "embeddings")
-    sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
+    sortFallbackAdvisory(spark, nVecs).foreach(graft.Graft.advise(spark, _, log))
     ssIvfTopK(spark, dir, ivfNprobe(spark, nVecs), nVecs = nVecs)
   }
 
@@ -129,6 +129,13 @@ object Similarity {
       try spark.conf.get(key, "128").trim.toLong
       catch { case _: NumberFormatException => 128L }
     val par = math.max(1, spark.sparkContext.defaultParallelism)
+    // groups/task ~ N / defaultParallelism: faithful for the local-mode
+    // regime this advisory guards (every core sees ~all groups of its
+    // slice of one box's stream). On a real cluster the scored stream's
+    // actual partition count bounds groups/task, which is >= this
+    // divisor's — so the estimate OVERSTATES cluster groups/task and
+    // can only fire early there, never stay silent late: the safe
+    // direction for a disk-filling failure mode.
     val groupsPerTask = nVecs / par
     if (groupsPerTask > threshold)
       Some(s"IVF assignment over $nVecs vectors: ~$groupsPerTask " +
@@ -434,7 +441,7 @@ object Similarity {
     // shape the gate SFs have always dumped (byte-stable plans there)
     val capped = 2L * nprobe >= kCents
     val floor = ivfRecallFloor(nprobe, kCents)
-    sortFallbackAdvisory(spark, nVecs).foreach(log.warn(_))
+    sortFallbackAdvisory(spark, nVecs).foreach(graft.Graft.advise(spark, _, log))
     val ivf = ssIvfTopK(spark, dir, nprobe, nVecs = nVecs)
       .select(col("q_id"), col("cand_id"))
     val exact = ssCosineTopK(spark, dir).select(col("q_id"), col("cand_id"))

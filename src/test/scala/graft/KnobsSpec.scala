@@ -553,34 +553,34 @@ class KnobsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     assert(Dedup.embedCapAdvisory(660L, 0L, 128L).isEmpty,
       "precondition: the N-derived advisory must be silent at cap 128 >= 4*sqrt(660)")
-    Dedup.lastMeasuredCellAdvisory.set(None)
+    Graft.clearAdvisories(spark)
     withConf("graft.embedCosine.exactMax" -> "0",
         "graft.embedCosine.maxCell" -> "128") {
       Dedup.ddEmbedCosine(spark, d).collect()
     }
-    // the execution listener delivers asynchronously — poll for the
+    // the execution listener delivers asynchronously — poll the
+    // SESSION LEDGER (round 17: the public advisory channel, which the
+    // atomics this test used to read were replaced by) for the
     // advisory quoting THIS cap (a stale delivery from an earlier
     // mega-cell test would quote its own cap and is ignored)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var adv: Option[String] = None
-    while (!adv.exists(_.contains("crosses the cell cap 128")) &&
-        System.nanoTime() < deadline) {
-      adv = Dedup.lastMeasuredCellAdvisory.get()
-      if (!adv.exists(_.contains("crosses the cell cap 128"))) Thread.sleep(50)
-    }
-    assert(adv.exists(_.contains("crosses the cell cap 128")) &&
-      adv.exists(_.contains("hash-split into 5 shards")), s"advisory: $adv")
-    // silent regime: nothing crosses a 4096 cap, so no 4096 advisory
-    // may appear (pure-function thresholds pinned below; the listener
-    // window here is best-effort, late stale deliveries quote old caps)
-    Dedup.lastMeasuredCellAdvisory.set(None)
+    def adv: Option[String] =
+      Graft.advisories(spark).find(_.contains("crosses the cell cap 128"))
+    while (adv.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(adv.exists(_.contains("hash-split into 5 shards")),
+      s"advisories: ${Graft.advisories(spark)}")
+    // silent regime: nothing crosses a 4096 cap, so no 4096 MEASURED
+    // advisory may appear (pure-function thresholds pinned below; the
+    // listener window here is best-effort, late stale deliveries quote
+    // old caps)
+    Graft.clearAdvisories(spark)
     withConf("graft.embedCosine.exactMax" -> "0",
         "graft.embedCosine.maxCell" -> "4096") {
       Dedup.ddEmbedCosine(spark, d).collect()
     }
     Thread.sleep(2000)
-    assert(!Dedup.lastMeasuredCellAdvisory.get().exists(_.contains("4096")),
-      s"no cell crosses 4096, got: ${Dedup.lastMeasuredCellAdvisory.get()}")
+    assert(!Graft.advisories(spark).exists(_.contains("cell cap 4096")),
+      s"no cell crosses 4096, got: ${Graft.advisories(spark)}")
   }
 
   test("sort-fallback advisory fires past the groups/task threshold and names the knob") {
@@ -659,7 +659,7 @@ class KnobsSpec extends AnyFunSuite {
     val atDefault = Dedup.ddMinhashLsh(spark, d).count()
     assert(atDefault == 80L * 79 / 2 + 2,
       s"control: blob + both healthy pairs found at the default cap, got $atDefault")
-    Dedup.lastBucketAdvisory.set(None)
+    Graft.clearAdvisories(spark)
     withConf("graft.minhash.maxBucket" -> "8") {
       val capped = Dedup.ddMinhashLsh(spark, d)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -669,14 +669,49 @@ class KnobsSpec extends AnyFunSuite {
     }
     // the measured bucket is the blob's LARGEST band bucket — a few
     // members' differing tail tokens perturb some slots, so it sits
-    // slightly under the 80-doc blob size; parse and bound it
+    // slightly under the 80-doc blob size; parse and bound it (read
+    // from the session advisory ledger, the round-17 public channel)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     val bucketRe = """band bucket of (\d+) members""".r
-    def fired = Dedup.lastBucketAdvisory.get().exists(m =>
+    def fired = Graft.advisories(spark).exists(m =>
       m.contains("maxBucket = 8") &&
         bucketRe.findFirstMatchIn(m).exists(_.group(1).toLong >= 70L))
     while (!fired && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(fired, s"advisory: ${Dedup.lastBucketAdvisory.get()}")
+    assert(fired, s"advisories: ${Graft.advisories(spark)}")
+  }
+
+  test("pruned cap observation fires the generic advisory on a pure-blob corpus") {
+    // the r16 lead finding, closed round 17: when the cap drops EVERY
+    // candidate (a corpus that is ONE near-verbatim blob over the cap),
+    // the whole result is empty, AQE's empty-relation propagation
+    // prunes the CollectMetrics node, and the MEASURED advisory — in
+    // the one case where loss is 100% — had nothing to deliver. The
+    // listener now detects the declared-but-undelivered observation
+    // and fires prunedObservationAdvisory naming the knob.
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    val docs = (0 until 40).map(i => (i.toLong, s"$blobText tail$i"))
+    val d = java.nio.file.Files.createTempDirectory("knob-pure-blob").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Graft.clearAdvisories(spark)
+    withConf("graft.minhash.maxBucket" -> "8") {
+      assert(Dedup.ddMinhashLsh(spark, d).count() == 0L,
+        "precondition: every band bucket crosses cap 8, zero pairs out")
+    }
+    // listener delivery is asynchronous — poll the session ledger
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def fired = Graft.advisories(spark).exists(m =>
+      m.contains("cap observation was pruned") &&
+        m.contains("graft.minhash.maxBucket = 8") &&
+        m.contains("dd_minhash_lsh"))
+    while (!fired && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(fired, s"advisories: ${Graft.advisories(spark)}")
+    // and NO measured bucket advisory can have fired — the observation
+    // never delivered (that is the point of this corner)
+    assert(!Graft.advisories(spark).exists(_.contains("band bucket of")),
+      s"advisories: ${Graft.advisories(spark)}")
   }
 
   test("minhash bucket advisory thresholds (pure)") {
@@ -686,6 +721,18 @@ class KnobsSpec extends AnyFunSuite {
     assert(at.exists(m => m.contains("4000 members") &&
       m.contains("maxBucket = 1024") && m.contains("maxBucket >= 4000")),
       at.toString)
+  }
+
+  test("pruned-observation advisory names the route and knob by prefix (pure)") {
+    val cell = Dedup.prunedObservationAdvisory(
+      "graft.embedCosine.cellStats/ab12/cap=4096")
+    assert(cell.contains("dd_embed_cosine") &&
+      cell.contains("graft.embedCosine.maxCell = 4096") &&
+      cell.contains("cap observation was pruned"), cell)
+    val bucket = Dedup.prunedObservationAdvisory(
+      "graft.minhash.bucketStats/cd34/cap=1024")
+    assert(bucket.contains("dd_minhash_lsh") &&
+      bucket.contains("graft.minhash.maxBucket = 1024"), bucket)
   }
 
   test("measured-cell advisory thresholds (pure)") {
