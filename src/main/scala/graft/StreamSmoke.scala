@@ -97,8 +97,10 @@ object StreamSmoke {
 
     val mem = MemoryStream[Doc](spark)
     val drops = spark.sparkContext.longAccumulator("bucket_drops")
+    val worst = new graft.streaming.MaxAccumulator
+    spark.sparkContext.register(worst, "worst_bucket_drops")
     val out = graft.streaming.Streams.nearDupStream(
-      mem.toDF(), corpus, drops = Some(drops))
+      mem.toDF(), corpus, drops = Some(drops), worstBucketDrops = Some(worst))
     val q = out.writeStream.format("memory").queryName("pairs")
       .outputMode("append").start()
     try {
@@ -122,6 +124,11 @@ object StreamSmoke {
         println(f"$w%-5d $wall%8.2f ${wave.length / wall}%9.0f " +
           f"$stateRows%11d $stateMb%9.2f $pairs%8d ${drops.value}%7d")
       }
+      // round 17: the drop advisory quotes the per-bucket pair-loss
+      // bound — silent when nothing was capped (the expected outcome
+      // on this healthy corpus, where hot buckets don't exist)
+      println("drop advisory: " + graft.streaming.Streams
+        .reportDrops(spark, drops, worst).getOrElse("(none - no drops)"))
     } finally q.stop()
     spark.stop()
   }

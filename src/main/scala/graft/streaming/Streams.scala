@@ -22,7 +22,30 @@ import java.sql.Timestamp
   * timeout — both shapes survive a 1000-executor deployment because
   * state is keyed and pruned, never collected to the driver.
   */
+/** Max-tracking accumulator (Spark ships sum/count only): tasks add
+  * candidate values, the driver reads the running maximum. Used by
+  * [[Streams.nearDupStream]] to surface the worst single bucket's
+  * cumulative drop count — the quantity the pair-loss bound keys on
+  * (a total drop count alone cannot distinguish scattered stragglers
+  * from one blob's tail; see [[Streams.nearDupDropAdvisory]]).
+  * Register via `spark.sparkContext.register(acc, name)`. */
+class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var mx = 0L
+  override def isZero: Boolean = mx == 0L
+  override def copy(): MaxAccumulator = {
+    val a = new MaxAccumulator; a.mx = mx; a
+  }
+  override def reset(): Unit = mx = 0L
+  override def add(v: Long): Unit = mx = math.max(mx, v)
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    mx = math.max(mx, other.value)
+  override def value: Long = mx
+}
+
 object Streams {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Streams")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -207,8 +230,14 @@ object Streams {
       ts: Timestamp)
   case class CandPair(doc_a: Long, doc_b: Long)
   /** One band bucket's members: doc ids sorted ascending (binary-search
-    * membership) with the aligned arrival timestamps. */
-  case class BucketState(ids: Array[Long], tss: Array[Long])
+    * membership) with the aligned arrival timestamps, plus the bucket's
+    * CUMULATIVE capped-drop count (round 17: feeds the worst-bucket
+    * accumulator so the pair-loss bound is per-bucket, not corpus-wide;
+    * resets with the bucket's horizon eviction — by then every dropped
+    * arrival's pairing window has passed and its drops are already
+    * reported). Adding the field changes the state encoder: checkpoints
+    * written by earlier rounds do not resume against this version. */
+  case class BucketState(ids: Array[Long], tss: Array[Long], dropped: Long)
 
   /** Streaming NEAR-dup detection — the incremental form of
     * `dd_minhash_lsh`: as documents arrive, each one's 32-slot MinHash
@@ -253,7 +282,16 @@ object Streams {
     * an arrival to a full bucket still pairs against the existing
     * members but is not retained as a member itself, and the drop is
     * counted on `drops` (so member↔member pairs stay complete; only
-    * dropped↔later-arrival pairs can be missed, visibly).
+    * pairs among the dropped arrivals themselves — and with later
+    * arrivals to the same bucket — can be missed). A raw total like
+    * `drops=174` is not interpretable on its own (174 scattered
+    * stragglers lose ~nothing; one blob's 174-arrival tail loses up to
+    * C(174,2) pairs), so pass `worstBucketDrops` (a [[MaxAccumulator]])
+    * and read [[nearDupDropAdvisory]] per batch: it quotes the
+    * worst single bucket's cumulative drop count w and the bound
+    * w·(w−1)/2 — exact for a near-verbatim blob, whose pairs are lost
+    * in ALL bands at once (StreamsSpec pins bound == actual loss on a
+    * capped blob arriving across waves).
     *
     * CORPUS CONTRACT: the final exact verify is a stream-static join
     * against `corpus`, and a static side is re-read per micro-batch but
@@ -272,7 +310,8 @@ object Streams {
       horizonMinutes: Int = 1440,
       maxBucketMembers: Int = 1024,
       drops: Option[org.apache.spark.util.LongAccumulator] = None,
-      latenessMinutes: Int = -1): DataFrame = {
+      latenessMinutes: Int = -1,
+      worstBucketDrops: Option[MaxAccumulator] = None): DataFrame = {
     import graft.functions.{Dedup, MinHashRow}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -310,7 +349,7 @@ object Streams {
             val batch = rows.toArray
             val wm = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
             val prev = state.getOption.getOrElse(
-              BucketState(Array.empty[Long], Array.empty[Long]))
+              BucketState(Array.empty[Long], Array.empty[Long], 0L))
             // prune members that can no longer pair: new arrivals carry
             // ts >= wm, so ts < wm - horizon means every future |Δts|
             // exceeds the horizon (MinValue wm in batch → keep all)
@@ -329,6 +368,7 @@ object Streams {
                 java.util.Arrays.binarySearch(ids, id) < 0 }
               .toArray.sortBy { case (id, t) => (t, id) }
             val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var dropped = prev.dropped
             fresh.foreach { case (id, t) =>
               var i = 0
               while (i < ids.length) {
@@ -346,11 +386,17 @@ object Streams {
                 System.arraycopy(ids, pos, gIds, pos + 1, ids.length - pos)
                 System.arraycopy(tss, pos, gTss, pos + 1, tss.length - pos)
                 ids = gIds; tss = gTss
-              } else drops.foreach(_.add(1))
+              } else {
+                drops.foreach(_.add(1))
+                dropped += 1
+              }
             }
+            // report THIS bucket's cumulative drop count — the max over
+            // buckets is what bounds the worst-case pair loss
+            if (dropped > prev.dropped) worstBucketDrops.foreach(_.add(dropped))
             if (ids.isEmpty) { if (state.exists) state.remove() }
             else {
-              state.update(BucketState(ids, tss))
+              state.update(BucketState(ids, tss, dropped))
               if (streaming)
                 // when the watermark passes the newest member by the
                 // horizon every member is prunable — evict the bucket
@@ -364,5 +410,49 @@ object Streams {
     val docsStatic = corpus.select(col("doc_id"),
       Dedup.shingles(col("text")).as("shs"))
     Dedup.exactVerify(cands.toDF(), docsStatic)
+  }
+
+  /** The streaming cap's pair-loss advisory (round 17, the batch
+    * advisories' arithmetic pattern): quotes what a raw drop total
+    * cannot say — the worst single bucket's cumulative drop count `w`
+    * and the bound `w·(w−1)/2` on the late↔late pairs that bucket can
+    * have lost. The bound is EXACT for the shape that matters, a
+    * near-verbatim blob past the cap: its pairs drop in all bands at
+    * once, so every pair among its `w` capped arrivals is lost
+    * (pinned in StreamsSpec: bound == measured loss on a capped blob
+    * arriving across waves); scattered single stragglers give w = 1 →
+    * bound 0, correctly read as harmless. Pure — callers with live
+    * accumulators use [[reportDrops]]. */
+  private[graft] def nearDupDropAdvisory(totalDrops: Long,
+      worstBucketDrops: Long): Option[String] =
+    if (totalDrops > 0) {
+      val w = worstBucketDrops
+      Some(s"nearDupStream dropped $totalDrops member-arrival(s) at full " +
+        "band buckets (maxBucketMembers cap). Each dropped arrival still " +
+        "paired against the retained members, so member<->member pairs " +
+        "are complete; what can be lost are pairs AMONG dropped arrivals " +
+        "and with later arrivals to the same bucket. Worst single bucket " +
+        s"dropped $w arrival(s) -> up to ${w * (w - 1) / 2} late<->late " +
+        "pair(s) lost in that bucket alone (exactly C(w,2) if its drops " +
+        "are one near-verbatim blob inside one horizon; ~0 if they are " +
+        "scattered stragglers). Collapse exact duplicates upstream " +
+        "(dedupStream first) or raise maxBucketMembers past the largest " +
+        "duplicate-blob size.")
+    } else None
+
+  /** Read the two drop accumulators and fire [[nearDupDropAdvisory]]
+    * through the session ledger + WARN log ([[graft.Graft.advise]]).
+    * Call driver-side after a micro-batch (e.g. per
+    * `processAllAvailable` wave, or from a StreamingQueryListener) —
+    * accumulator values are only visible on the driver. Idempotent in
+    * effect but not in ledger entries: each call with drops > 0
+    * appends one entry quoting the CURRENT totals, so call it on wave
+    * boundaries, not per row. */
+  def reportDrops(spark: SparkSession,
+      drops: org.apache.spark.util.LongAccumulator,
+      worstBucketDrops: MaxAccumulator): Option[String] = {
+    val adv = nearDupDropAdvisory(drops.value, worstBucketDrops.value)
+    adv.foreach(graft.Graft.advise(spark, _, log))
+    adv
   }
 }

@@ -553,9 +553,12 @@ class StreamsSpec extends AnyFunSuite {
     val n = 20; val cap = 8
     val corpus = (1 to n).map(i => Doc(i, ts(i), text)).toDF()
     val dropAcc = spark.sparkContext.longAccumulator("nearDupBucketDrops")
+    val worstAcc = new graft.streaming.MaxAccumulator
+    spark.sparkContext.register(worstAcc, "nearDupWorstBucketDrops")
     val mem = MemoryStream[Doc](spark)
     val out = Streams.nearDupStream(mem.toDF(), corpus, horizonMinutes = 60,
-      maxBucketMembers = cap, drops = Some(dropAcc))
+      maxBucketMembers = cap, drops = Some(dropAcc),
+      worstBucketDrops = Some(worstAcc))
     val q = out.writeStream.format("memory").queryName("near_dup_cap")
       .outputMode("append").start()
     try {
@@ -573,6 +576,27 @@ class StreamsSpec extends AnyFunSuite {
           s"missing=${expected -- streamed} extra=${streamed -- expected}")
       assert(dropAcc.value == 16L * (n - cap),
         s"drops must be visible: ${dropAcc.value}")
+      // the round-17 pair-loss arithmetic: the worst bucket's CUMULATIVE
+      // drop count across the waves is the blob tail (n - cap), and the
+      // quoted C(w,2) bound is EXACT here — the pairs actually missing
+      // from the emitted set are precisely those among the dropped
+      // arrivals (a blob drops in all 16 bands at once)
+      assert(worstAcc.value == (n - cap).toLong,
+        s"worst bucket cumulative drops: ${worstAcc.value}")
+      val allPairs = (for { j <- 2 to n; i <- 1 until j }
+        yield (i.toLong, j.toLong)).toSet
+      val actualLost = allPairs -- streamed
+      val w = worstAcc.value
+      assert(actualLost.size.toLong == w * (w - 1) / 2,
+        s"bound must be exact on the blob shape: lost=${actualLost.size}")
+      graft.Graft.clearAdvisories(spark)
+      val adv = Streams.reportDrops(spark, dropAcc, worstAcc)
+      assert(adv.exists(m => m.contains(s"dropped $w arrival(s)") &&
+        m.contains(s"up to ${w * (w - 1) / 2} late<->late")), adv.toString)
+      // and the advisory reached the session ledger — the programmatic
+      // channel an orchestrator reads
+      assert(graft.Graft.advisories(spark).exists(_.contains("late<->late")),
+        graft.Graft.advisories(spark).toString)
     } finally q.stop()
   }
 }
