@@ -12,35 +12,51 @@ package graft
   * deserialization breaks on any plan fragment carrying a graft
   * expression.
   *
-  * Row-count equality (not hash equality) is the right check here:
-  * the correctness gate already hash-matches local[*] against the
-  * DuckDB oracle; what a multi-executor master can break is task
-  * execution itself (deserialization, classloading, shuffle), which
-  * surfaces as a crash or a wrong cardinality, not a silently
-  * permuted value.
+  * Round 17 upgraded the comparison from row counts to CONTENT hashes
+  * (the r16 verdict's residual): each query's result is collected as
+  * JSON rows (sf0.001 diagnostic scale — this is a tool, not a data
+  * plane) and hashed twice — over the row MULTISET (sorted; the gate:
+  * a mismatch means a multi-executor master changed VALUES, not just
+  * cardinality) and over the rows AS RETURNED (informational: queries
+  * without a global sort may legitimately permute across masters;
+  * order-sensitive operators like ta_shuffle/ta_pack end in orderBy,
+  * so an ordered mismatch on THEM would be a determinism finding —
+  * printed, not fatal, so the sweep reports it instead of hiding it).
   *
   * Run (jar must be current):
   *   sbt package && SPARK_SCALA_VERSION=2.13 \
   *     tools/runmain.sh graft.ClusterSweep [sfDir]
   */
 object ClusterSweep {
+  case class Res(rows: Long, orderedHash: String, sortedHash: String)
+
+  private def md5(parts: Array[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { s => d.update(s.getBytes("UTF-8")); d.update(0.toByte) }
+    d.digest().map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val master = sys.env.getOrElse("SCALE_SMOKE_MASTER",
       "local-cluster[2,16,6144]")
 
     def runAll(spark: org.apache.spark.sql.SparkSession,
-        tag: String): Map[String, Either[String, Long]] =
+        tag: String): Map[String, Either[String, Res]] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val res =
-          try Right(fn(spark, dir).count())
+          try {
+            val rows = fn(spark, dir).toJSON.collect()
+            Right(Res(rows.length.toLong, md5(rows), md5(rows.sorted)))
+          }
           catch { case scala.util.control.NonFatal(e) =>
             Left((String.valueOf(e.getClass.getSimpleName) + ": " +
               String.valueOf(e.getMessage).takeWhile(_ != '\n')).take(200))
           }
         println(f"[$tag] $name%-28s ${
-          res.fold("FAILED " + _, c => f"$c%10d")}  ${
+          res.fold("FAILED " + _,
+            r => f"${r.rows}%10d ${r.sortedHash.take(12)}")}  ${
           (System.nanoTime() - t0) / 1e9}%5.1f s")
         name -> res
       }.toMap
@@ -86,16 +102,25 @@ object ClusterSweep {
     cluster.stop()
 
     var bad = 0
+    var reordered = 0
     ref.keys.toSeq.sorted.foreach { name =>
       (ref(name), got(name)) match {
-        case (Right(a), Right(b)) if a == b => ()
+        case (Right(a), Right(b))
+            if a.rows == b.rows && a.sortedHash == b.sortedHash =>
+          if (a.orderedHash != b.orderedHash) {
+            reordered += 1
+            println(s"REORDERED $name: same row multiset, different row " +
+              "order across masters (no global sort in this query, or a " +
+              "determinism finding if it has one)")
+          }
         case (a, b) =>
           bad += 1
           println(s"MISMATCH $name: local=$a cluster=$b")
       }
     }
-    println(s"== ${ref.size - bad}/${ref.size} row counts match " +
-      s"between local[32] and $master")
+    println(s"== ${ref.size - bad}/${ref.size} content hashes match " +
+      s"between local[32] and $master" +
+      (if (reordered > 0) s" ($reordered order-only diffs)" else ""))
     if (bad > 0) sys.exit(1)
   }
 }

@@ -340,6 +340,12 @@ object EmbedRecallSmoke {
         } catch { case _: Exception => false })
       val t0 = System.nanoTime()
       if (!slimReuse) {
+        // delete any PRE-EXISTING stamp before the overwrite starts: a
+        // crash mid-overwrite must not leave a torn parquet beside a
+        // still-valid old stamp (regenerating with REUSE unset over a
+        // same-nVecs assignment hits exactly that), which a later
+        // REUSE=1 run would trust
+        java.nio.file.Files.deleteIfExists(stampFile.toPath)
         Similarity.probedCellAssign(spark, big, pm)
           .write.mode("overwrite").parquet(slimDir)
         // stamp AFTER the write completes: a crash mid-write leaves no
