@@ -11,8 +11,9 @@
 #   4. cluster   sbt package + ClusterSmoke on local-cluster[4,8] — the
 #                §8.4.10 multi-executor deserialization regression check
 #   5. sweep     ClusterSweep: EVERY registered query under
-#                local-cluster + spark.jars, row counts vs local[32]
-#                (round 16 — the full-registry task-binary check)
+#                local-cluster + spark.jars, content hashes vs local[32]
+#                (round 16 full-registry task-binary check; round 17
+#                upgraded counts -> sorted+ordered JSON-row hashes)
 #   6. bench     the Bench contract line at sf0.1 (written to
 #                target/round_gate/bench.json, NOT BENCH_r*.json — the
 #                driver owns those)
@@ -68,7 +69,7 @@ stage_sweep() {
       /root/testdata/sf0.001 > "$LOGDIR/sweep.out" 2>"$LOGDIR/sweep.err"
   local rc=$?
   cat "$LOGDIR/sweep.out"
-  [[ $rc -eq 0 ]] && grep -q "row counts match" "$LOGDIR/sweep.out" &&
+  [[ $rc -eq 0 ]] && grep -q "content hashes match" "$LOGDIR/sweep.out" &&
     ! grep -q "MISMATCH\|FAILED" "$LOGDIR/sweep.out"
 }
 stage_bench() {
