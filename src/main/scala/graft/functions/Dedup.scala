@@ -1174,9 +1174,24 @@ object Dedup {
             // ANALYZED plan declares must have delivered; one that
             // didn't was replanned away with an empty subtree — advise
             // generically, since the measured max no longer exists.
+            // The cache corner was probed before choosing ANALYZED as
+            // the diff base (round 17): a .cache()d route does NOT
+            // false-fire here, because observedMetrics traverses
+            // InMemoryTableScan into the cached physical plan and a
+            // HEALTHY cached result delivers its metrics on every
+            // cache-served re-trigger (measured: analyzed=1
+            // delivered=1 on both triggers) — while a DEGENERATE
+            // cached result's CollectMetrics was AQE-pruned inside the
+            // cached materialization itself, so delivery is absent on
+            // every trigger (measured: analyzed=1 delivered=0) and
+            // this advisory correctly fires each time the poisoned
+            // cache is read. Diffing withCachedData instead would go
+            // SILENT there — cache substitution removes the logical
+            // node for healthy and degenerate caches alike. Both
+            // shapes pinned in KnobsSpec.
             // (distinct: identical self-join sides above a reused
             // exchange carry the same semanticHash-scoped name twice
-            // in the analyzed plan but deliver once.)
+            // in the plan but deliver once.)
             qe.analyzed.collect {
               case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
                   if isCapObservation(c.name) => c.name

@@ -28,7 +28,15 @@ import java.sql.Timestamp
   * cumulative drop count — the quantity the pair-loss bound keys on
   * (a total drop count alone cannot distinguish scattered stragglers
   * from one blob's tail; see [[Streams.nearDupDropAdvisory]]).
-  * Register via `spark.sparkContext.register(acc, name)`. */
+  * Register via `spark.sparkContext.register(acc, name)`.
+  *
+  * Retry-safe where a sum is not: a retried/speculated task re-adding
+  * the same bucket's CUMULATIVE drop count leaves the max unchanged,
+  * while a sum accumulator double-counts (the same merge-idempotency
+  * argument that made the batch cap observations max-only) — so the
+  * worst-bucket figure the advisory quotes is exact even under task
+  * retries; the companion `drops` TOTAL is Spark's standard
+  * at-least-once accumulator semantics and can only overstate. */
 class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
   private var mx = 0L
   override def isZero: Boolean = mx == 0L

@@ -723,6 +723,65 @@ class KnobsSpec extends AnyFunSuite {
       at.toString)
   }
 
+  test("caching neither false-fires nor silences the pruned-observation advisory") {
+    // failure-path review of the round-17 fallback itself, probed
+    // before choosing the analyzed plan as the diff base: observed
+    // metrics DELIVER THROUGH a cache (InMemoryTableScan traversal),
+    // so a HEALTHY cached result re-delivers on every cache-served
+    // trigger and must never produce the pruned advisory — while a
+    // DEGENERATE cached result (CollectMetrics AQE-pruned inside the
+    // cached materialization) never delivers, and the advisory must
+    // fire on EVERY read of the poisoned cache. Diffing withCachedData
+    // instead of analyzed would silence the second case.
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val blob = (0 until 40).map(i => (i.toLong, s"$blobText tail$i"))
+    def corpus(rows: Seq[(Long, String)], tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"knob-cache-$tag").toString
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    withConf("graft.minhash.maxBucket" -> "8") {
+      // healthy: blob + one surviving pair — cached re-trigger stays quiet
+      val healthy = Dedup.ddMinhashLsh(spark, corpus(blob ++
+        Seq((900L, s"$pairA endings"), (901L, s"$pairA closings")),
+        "healthy")).cache()
+      // degenerate: pure blob — every trigger of the cache must advise
+      val degen = Dedup.ddMinhashLsh(spark, corpus(blob, "degen")).cache()
+      try {
+        assert(healthy.count() == 1L) // materializes; metrics deliver
+        assert(degen.count() == 0L)   // materializes; metrics pruned
+        // drain the async listener before clearing, or the
+        // materializing triggers' own advisories land after the clear
+        // and poison the exactly-one count below
+        val drain = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!Graft.advisories(spark)
+            .exists(_.contains("cap observation was pruned")) &&
+          System.nanoTime() < drain) Thread.sleep(50)
+        Thread.sleep(1000)
+        Graft.clearAdvisories(spark)
+        assert(healthy.count() == 1L) // cache-served: delivers through cache
+        assert(degen.count() == 0L)   // cache-served: still no delivery
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def pruned = Graft.advisories(spark)
+          .filter(_.contains("cap observation was pruned"))
+        while (pruned.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(pruned.nonEmpty && pruned.forall(_.contains("dd_minhash_lsh")),
+          s"advisories: ${Graft.advisories(spark)}")
+        Thread.sleep(1000) // let any late healthy-side delivery land
+        // the healthy cached re-trigger contributed its MEASURED
+        // advisory (delivery-through-cache), never the pruned one —
+        // exactly one pruned advisory means the healthy side is clean
+        assert(Graft.advisories(spark)
+          .count(_.contains("cap observation was pruned")) == 1,
+          s"advisories: ${Graft.advisories(spark)}")
+      } finally { healthy.unpersist(); degen.unpersist() }
+    }
+  }
+
   test("pruned-observation advisory names the route and knob by prefix (pure)") {
     val cell = Dedup.prunedObservationAdvisory(
       "graft.embedCosine.cellStats/ab12/cap=4096")
