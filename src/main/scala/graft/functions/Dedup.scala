@@ -1126,11 +1126,13 @@ object Dedup {
     val cap = name.split("/cap=").lift(1).getOrElse("?")
     s"$op: result is EMPTY and the cap observation was pruned with the " +
       "empty plan (AQE empty-relation propagation), so no measured " +
-      s"advisory is available — the cap ($knob = $cap) may have dropped " +
-      "EVERY candidate (a fully-degenerate corpus, e.g. one near-verbatim " +
-      "blob larger than the cap, hits exactly this). Collapse blobs first " +
-      s"(dd_exact, then near-dup on the residue) or re-run with $knob " +
-      "raised past the largest duplicate-blob size."
+      "advisory is available. An empty result can be benign (empty or " +
+      "pair-free input) — but if duplicates were expected, the cap " +
+      s"($knob = $cap) may have dropped EVERY candidate (a fully-" +
+      "degenerate corpus, e.g. one near-verbatim blob larger than the " +
+      "cap, hits exactly this). Collapse blobs first (dd_exact, then " +
+      s"near-dup on the residue) or re-run with $knob raised past the " +
+      "largest duplicate-blob size."
   }
 
   /** Register (once per session) the QueryExecutionListener that turns

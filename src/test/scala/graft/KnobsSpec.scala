@@ -723,6 +723,35 @@ class KnobsSpec extends AnyFunSuite {
       at.toString)
   }
 
+  test("pruned cap observation advises on the embed route too (empty assignment)") {
+    // the cell-prefix sibling of the pure-blob minhash pin. Note a
+    // maxCell=1 construction does NOT empty the result — hash-splitting
+    // a cell of m members into m shards still collides members into
+    // shared shards (balls into bins), so pairs survive; the embed
+    // route's reachable empty-result shapes are the benign ones the
+    // advisory message hedges for (empty or pair-free input). Pin the
+    // all-zero-norm corpus: every vector is filtered, the assignment
+    // stream is empty, AQE prunes the cell observation, and the
+    // generic advisory must dispatch to the embed knob by prefix.
+    import spark.implicits._
+    val vecs = (0 until 120).map(i => (i.toLong, Array.fill(16)(0.0f)))
+    val d = java.nio.file.Files.createTempDirectory("knob-embed-pruned").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Graft.clearAdvisories(spark)
+    withConf("graft.embedCosine.exactMax" -> "0") {
+      assert(Dedup.ddEmbedCosine(spark, d).count() == 0L,
+        "precondition: zero-norm vectors are filtered, nothing pairs")
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def fired = Graft.advisories(spark).exists(m =>
+      m.contains("cap observation was pruned") &&
+        m.contains("graft.embedCosine.maxCell") &&
+        m.contains("dd_embed_cosine"))
+    while (!fired && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(fired, s"advisories: ${Graft.advisories(spark)}")
+  }
+
   test("caching neither false-fires nor silences the pruned-observation advisory") {
     // failure-path review of the round-17 fallback itself, probed
     // before choosing the analyzed plan as the diff base: observed
