@@ -811,6 +811,48 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("with AQE off the pure-blob corpus gets the MEASURED advisory instead") {
+    // completes the 100%-loss matrix: AQE-on prunes the observation
+    // (generic advisory, pinned above); AQE-off delivers the real
+    // max — the measured advisory, which is strictly better — and the
+    // generic one must NOT also fire (the observation delivered)
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    val docs = (0 until 40).map(i => (i.toLong, s"$blobText tail$i"))
+    val d = java.nio.file.Files.createTempDirectory("knob-blob-noaqe").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Graft.clearAdvisories(spark)
+    withConf("graft.minhash.maxBucket" -> "8",
+        "spark.sql.adaptive.enabled" -> "false") {
+      assert(Dedup.ddMinhashLsh(spark, d).count() == 0L)
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def fired = Graft.advisories(spark).exists(m =>
+      m.contains("band bucket of") && m.contains("maxBucket = 8"))
+    while (!fired && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(fired, s"advisories: ${Graft.advisories(spark)}")
+    Thread.sleep(1000)
+    assert(!Graft.advisories(spark).exists(
+      _.contains("cap observation was pruned")),
+      s"advisories: ${Graft.advisories(spark)}")
+  }
+
+  test("the advisory ledger is session-scoped, ordered, and bounded to 256") {
+    Graft.clearAdvisories(spark)
+    (1 to 300).foreach(i => Dedup.minhashBucketAdvisory(2000L + i, 1024L)
+      .foreach(graft.Graft.advise(spark, _,
+        org.slf4j.LoggerFactory.getLogger("graft.KnobsSpec"))))
+    val led = Graft.advisories(spark)
+    assert(led.size == 256, s"bounded: ${led.size}")
+    // newest retained, oldest dropped, order preserved
+    assert(led.head.contains("2045 members") &&
+      led.last.contains("2300 members"), s"${led.head} .. ${led.last}")
+    Graft.clearAdvisories(spark)
+    assert(Graft.advisories(spark).isEmpty)
+  }
+
   test("pruned-observation advisory names the route and knob by prefix (pure)") {
     val cell = Dedup.prunedObservationAdvisory(
       "graft.embedCosine.cellStats/ab12/cap=4096")
