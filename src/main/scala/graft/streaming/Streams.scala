@@ -463,4 +463,40 @@ object Streams {
     adv.foreach(graft.Graft.advise(spark, _, log))
     adv
   }
+
+  /** Auto-fire [[reportDrops]] from the streaming engine's own
+    * progress events, so a live deployment gets the advisory without
+    * wiring a per-batch callback: attach AFTER `start()`, and the
+    * listener reports once per micro-batch IN WHICH the drop total
+    * GREW (a quiet stream stays quiet; a blob burst advises once per
+    * batch with the then-current totals — each entry quotes the
+    * cumulative figures, so the LAST entry is the one to read).
+    * Self-removes when the query terminates. Returns the listener so
+    * a caller can detach early via `spark.streams.removeListener`. */
+  def attachDropReporter(spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      drops: org.apache.spark.util.LongAccumulator,
+      worstBucketDrops: MaxAccumulator)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      private val lastReported = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == query.id) {
+          val cur = drops.value
+          // getAndSet makes each grown value report at most once even
+          // if the engine delivers progress events concurrently
+          if (cur > lastReported.getAndSet(cur))
+            reportDrops(spark, drops, worstBucketDrops)
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
 }

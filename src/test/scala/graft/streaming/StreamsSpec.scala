@@ -561,10 +561,19 @@ class StreamsSpec extends AnyFunSuite {
       worstBucketDrops = Some(worstAcc))
     val q = out.writeStream.format("memory").queryName("near_dup_cap")
       .outputMode("append").start()
+    // the auto-reporter must fire the advisory from the engine's own
+    // progress events — no manual reportDrops call per batch
+    graft.Graft.clearAdvisories(spark)
+    Streams.attachDropReporter(spark, q, dropAcc, worstAcc)
     try {
       (1 to n).foreach { i =>
         mem.addData(Doc(i, ts(i), text)); q.processAllAvailable()
       }
+      val autoDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!graft.Graft.advisories(spark).exists(_.contains("late<->late")) &&
+        System.nanoTime() < autoDeadline) Thread.sleep(50)
+      assert(graft.Graft.advisories(spark).exists(_.contains("late<->late")),
+        s"auto-reporter must advise: ${graft.Graft.advisories(spark)}")
       val streamed = spark.table("near_dup_cap").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // every arrival pairs with the first `cap` retained members
