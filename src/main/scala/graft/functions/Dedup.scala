@@ -1124,8 +1124,9 @@ object Dedup {
         ("dd_embed_cosine", "graft.embedCosine.maxCell")
       else ("dd_minhash_lsh", "graft.minhash.maxBucket")
     val cap = name.split("/cap=").lift(1).getOrElse("?")
-    s"$op: result is EMPTY and the cap observation was pruned with the " +
-      "empty plan (AQE empty-relation propagation), so no measured " +
+    s"$op: this route's result (its branch, in a composite query) is " +
+      "EMPTY and the cap observation was pruned with the empty plan " +
+      "(AQE empty-relation propagation), so no measured " +
       "advisory is available. An empty result can be benign (empty or " +
       "pair-free input) — but if duplicates were expected, the cap " +
       s"($knob = $cap) may have dropped EVERY candidate (a fully-" +

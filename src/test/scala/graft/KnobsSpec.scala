@@ -811,6 +811,46 @@ class KnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("a composite query advises per branch: pruned for the degenerate side only") {
+    // compositional granularity of the fallback: union a healthy small
+    // corpus (buckets under cap — no advisory of either kind) with a
+    // pure-blob corpus (observation pruned). The union's result is
+    // NON-empty, yet the degenerate branch's observation is still
+    // pruned (AQE replans that join subtree empty) — the advisory must
+    // fire for ITS semanticHash-scoped name only, once.
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def corpus(rows: Seq[(Long, String)], tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"knob-union-br-$tag").toString
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val healthy = corpus(Seq((1L, s"$pairA endings"), (2L, s"$pairA closings"),
+      (3L, "one two three four five six seven")), "healthy")
+    val degen = corpus((0 until 40).map(i => (i.toLong, s"$blobText tail$i")),
+      "degen")
+    Graft.clearAdvisories(spark)
+    withConf("graft.minhash.maxBucket" -> "8") {
+      val u = Dedup.ddMinhashLsh(spark, healthy)
+        .unionByName(Dedup.ddMinhashLsh(spark, degen))
+      assert(u.count() == 1L, "healthy pair survives, blob drops")
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def pruned = Graft.advisories(spark)
+      .filter(_.contains("cap observation was pruned"))
+    while (pruned.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    Thread.sleep(1000)
+    assert(pruned.size == 1, s"exactly the degenerate branch advises: " +
+      s"${Graft.advisories(spark)}")
+    // and the healthy branch fired nothing — its max bucket (2) is
+    // under the cap, so no measured advisory either
+    assert(!Graft.advisories(spark).exists(_.contains("band bucket of")),
+      s"advisories: ${Graft.advisories(spark)}")
+  }
+
   test("with AQE off the pure-blob corpus gets the MEASURED advisory instead") {
     // completes the 100%-loss matrix: AQE-on prunes the observation
     // (generic advisory, pinned above); AQE-off delivers the real
