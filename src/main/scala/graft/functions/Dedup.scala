@@ -669,23 +669,34 @@ object Dedup {
   private def simhashChunk(bits: Int)(j: Int): Column =
     shiftright(col("simhash"), j * bits).bitwiseAND(lit((1L << bits) - 1))
 
-  /** (doc_id, simhash, tbl, key) band rows — the general
-    * Manku/Jain/Sarma block design: the 64-bit signature splits into
-    * 64/`chunkBits` blocks; one table per `chunksPerKey`-subset of
-    * blocks, keyed by the subset's bit concatenation. A Hamming-d pair
-    * collides in SOME table whenever its differing bits leave one
-    * subset intact — guaranteed for d ≤ blocks − chunksPerKey
-    * (pigeonhole). Default plan: (16, 1) = 4 tables of 16-bit keys;
-    * scale plan: (8, 4) = C(8,4) = 70 tables of 32-bit keys. */
+  /** (doc_id, simhash, key) band rows — the general Manku/Jain/Sarma
+    * block design: the 64-bit signature splits into 64/`chunkBits`
+    * blocks; one table per `chunksPerKey`-subset of blocks, keyed by
+    * the subset's bit concatenation WITH the table index baked into
+    * the key's high bits (see below). A Hamming-d pair collides in
+    * SOME table whenever its differing bits leave one subset intact —
+    * guaranteed for d ≤ blocks − chunksPerKey (pigeonhole). Default
+    * plan: (16, 1) = 4 tables of 16-bit keys; scale plan: (8, 4) =
+    * C(8,4) = 70 tables of 32-bit keys. */
   private[graft] def simhashBands(docs: DataFrame, chunkBits: Int,
       chunksPerKey: Int): DataFrame = {
     val chunk = simhashChunk(chunkBits) _
+    // the table index is BAKED into the key's high bits (subset keys
+    // are < 2^(chunkBits*chunksPerKey) ≤ 2^32, table count ≤ 70 < 2^7,
+    // so tbl<<56-safe at both constructions): the band self-join then
+    // equi-joins ONE long instead of (tbl, key) — one hash over one
+    // column and an 8-bytes-narrower row through the 70·N-row wide
+    // exchange. Semantically identical: (tbl, key) pairs and the baked
+    // longs are in bijection.
     val keys = (0 until 64 / chunkBits).combinations(chunksPerKey)
-      .map(s => s.tail.foldLeft(chunk(s.head))(
-        (k, j) => k * lit(1L << chunkBits) + chunk(j)))
+      .zipWithIndex
+      .map { case (s, i) =>
+        s.tail.foldLeft(chunk(s.head))(
+          (k, j) => k * lit(1L << chunkBits) + chunk(j)) +
+          lit(i.toLong << 56) }
       .toSeq
     docs.select(col("doc_id"), col("simhash"),
-      posexplode(array(keys: _*)).as(Seq("tbl", "key")))
+      explode(array(keys: _*)).as("key"))
   }
 
   /** Band-table self-join → (doc_a, doc_b, hamming, sig_xor) pair
@@ -696,7 +707,7 @@ object Dedup {
   private def simhashJoin(bands: DataFrame): DataFrame = {
     val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
     bands.alias("a").join(bands.alias("b"),
-        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+        col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(xor).as("hamming"), xor.as("sig_xor"))
