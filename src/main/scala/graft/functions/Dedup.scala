@@ -499,14 +499,23 @@ object Dedup {
     // same 32-slot signature the streaming variant projects
     val sigs = docs.select(col("doc_id"),
       MinHashRow.minhash32_row(col("shs")).as("sig"))
+    // the band index is BAKED into the hash's high bits (the simhash
+    // band-key treatment): hash() is a 32-bit murmur3, band_idx < 16,
+    // so idx·2³² + hash is a bijection of (band_idx, band_hash) — the
+    // window partitioning and self-join below run on ONE long instead
+    // of two ints (one hash, narrower exchange row; A/B'd). The
+    // STREAMING variant keeps explicit (band_idx, band_hash) state
+    // keys from the same bandHashCols — output-pair parity is what the
+    // specs pin, not internal key encoding.
     val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandHashCols(col("sig")): _*))
-          .as(Seq("band_idx", "band_hash")))
+        explode(array(bandHashCols(col("sig")).zipWithIndex.map {
+          case (h, j) => h.cast("long") + lit(j.toLong << 32)
+        }: _*)).as("band_key"))
     // window count (not a separate agg + semi-join): one exchange on
     // the band key that the self-join below then reuses for both sides
     val kept = bands
       .withColumn("bucket_m", count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
+        Window.partitionBy("band_key")))
       // measured-bucket observation BEFORE the drop filter: every row
       // carries its bucket's member count, so max(bucket_m) vs cap is
       // free and the listener advisory fires on the measured quantity
@@ -517,8 +526,7 @@ object Dedup {
       .where(col("bucket_m") <= cap)
       .drop("bucket_m")
     kept.alias("a").join(kept.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
+        col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
