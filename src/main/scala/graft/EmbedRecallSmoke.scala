@@ -385,8 +385,9 @@ object EmbedRecallSmoke {
         // this rung — the smoke validates the advisory's dial, so it
         // must quote the advisory's own arithmetic
         Dedup.measuredCellAdvisory(maxCell, cap) match {
-          case Some(m) => println(s"measured-cell advisory WOULD FIRE: " +
-            m.takeWhile(_ != '(').trim)
+          case Some(m) => println(s"measured-cell advisory WOULD FIRE " +
+            s"(knob ${m.knob}, cap ${m.cap}, measured ${m.measured}, " +
+            s"bound ${m.bound}): " + m.message.takeWhile(_ != '(').trim)
           case None => println("measured-cell advisory silent " +
             s"(max cell $maxCell <= cap $cap)")
         }

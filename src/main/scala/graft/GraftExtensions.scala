@@ -66,6 +66,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** One fired runtime advisory as a MACHINE-ACTIONABLE record (round
+  * 18, closing the r17 lead finding that the ledger carried prose
+  * only): the canonical consumer — an orchestrator retrying a capped
+  * run with a raised knob — reads `knob` and `measured` off the record
+  * and re-runs with `knob >= measured`, no regex over `message`
+  * (pinned end-to-end in KnobsSpec's retry-loop test).
+  *
+  *  - `op`: the operator that fired (e.g. "dd_minhash_lsh")
+  *  - `knob`: the session conf key — or, for the streaming cap, the
+  *    operator parameter name — to act on
+  *  - `cap`: the active cap/threshold the run used (-1 when the firing
+  *    site doesn't know it, e.g. [[graft.streaming.Streams.reportDrops]])
+  *  - `measured`: the measured quantity that crossed the cap — for the
+  *    cap-style advisories this is also the value a retry should raise
+  *    `knob` to at least; -1 when the measurement itself was pruned
+  *    (the AQE 100%-loss corner: nothing measured survives, retry by
+  *    raising `knob` past the largest expected duplicate-blob size)
+  *  - `bound`: worst-case pair-loss bound implied by the crossing
+  *    (-1 when the advisory carries no pair arithmetic)
+  *  - `message`: the rendered prose ([[Graft.advisories]] returns
+  *    exactly these, so the human channel is unchanged) */
+case class Advisory(op: String, knob: String, cap: Long, measured: Long,
+    bound: Long, message: String)
+
 /** Library facade — everything a user of the engine touches:
   * `Graft.session()` for a configured SparkSession, `registerTables`
   * for the corpus views, the query registry, and the pipeline engine
@@ -101,9 +125,10 @@ object Graft {
     }
 
   /** Session-scoped runtime-advisory ledger (round 17, closing the
-    * r16 finding that every advisory was WARN-log-only): each entry is
-    * one fired advisory message — route selection, cap sizing, the
-    * measured cell/bucket silent-loss warnings, the sort-fallback
+    * r16 finding that every advisory was WARN-log-only; round 18 made
+    * each entry a typed [[Advisory]] record and added per-key slots):
+    * each entry is one fired advisory — route selection, cap sizing,
+    * the measured cell/bucket silent-loss warnings, the sort-fallback
     * spill warning, the streaming drop bound. `log.warn` alone is a
     * footgun here because `sparkContext.setLogLevel("ERROR")` — the
     * usual move to silence Spark's own noise — silences the advisories
@@ -111,52 +136,93 @@ object Graft {
     * gives a programmatic consumer (an orchestrator retrying with a
     * raised knob, a test) something to READ regardless of log config.
     *
-    * Keyed weakly by session so a stopped session's ledger is
-    * collectable; bounded to the newest [[advisoryLedgerCap]] entries
-    * so a long-lived session polling a capped route cannot grow it
-    * unboundedly. Entries are appended by the DRIVER only (route
-    * construction and the QueryExecutionListener both run driver-side),
-    * so the ledger is complete even on a real cluster. */
+    * Two structures per session (round 18, closing the r17 eviction
+    * finding): a FIFO history bounded to the newest
+    * [[advisoryLedgerCap]] entries, PLUS a keep-latest slot per
+    * (op, knob) key — so a thousand-batch streaming drop burst (one
+    * near-identical entry per micro-batch, all the same key) can fill
+    * and roll the history without evicting the LATEST entry of any
+    * other advisory an orchestrator needed (e.g. the one
+    * pruned-observation record; pinned in KnobsSpec). Reads merge the
+    * two in fire order. Keyed weakly by session so a stopped session's
+    * ledger is collectable. Entries are appended by the DRIVER only
+    * (route construction and the QueryExecutionListener both run
+    * driver-side), so the ledger is complete even on a real cluster. */
+  private final class AdvisoryLedger {
+    var seq = 0L
+    val queue = new java.util.ArrayDeque[(Long, Advisory)]()
+    val slots = new java.util.LinkedHashMap[(String, String), (Long, Advisory)]()
+  }
   private val advisoryLedgers =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentLinkedQueue[String]]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, AdvisoryLedger]()
   private val advisoryLedgerCap = 256
+  // slots hold one record per DISTINCT (op, knob); the key space is the
+  // fixed advisory surface (~10 keys today), the bound is a backstop
+  private val advisorySlotCap = 64
 
-  private def ledger(spark: org.apache.spark.sql.SparkSession) =
+  private def ledger(spark: org.apache.spark.sql.SparkSession): AdvisoryLedger =
     advisoryLedgers.synchronized {
-      var q = advisoryLedgers.get(spark)
-      if (q == null) {
-        q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-        advisoryLedgers.put(spark, q)
+      var l = advisoryLedgers.get(spark)
+      if (l == null) {
+        l = new AdvisoryLedger
+        advisoryLedgers.put(spark, l)
       }
-      q
+      l
     }
 
-  /** Fire a runtime advisory: append to the session ledger AND warn on
-    * the owning module's logger (single entry point, so the two
-    * channels can never disagree). Listener-delivered advisories arrive
-    * asynchronously — consumers polling [[advisories]] right after an
-    * action should poll briefly, as the specs do. */
+  /** Fire a runtime advisory: append the record to the session ledger
+    * (history + its (op, knob) slot) AND warn the prose on the owning
+    * module's logger (single entry point, so the channels can never
+    * disagree). Listener-delivered advisories arrive asynchronously —
+    * consumers polling [[advisories]]/[[advisoryRecords]] right after
+    * an action should poll briefly, as the specs do. */
   private[graft] def advise(spark: org.apache.spark.sql.SparkSession,
-      msg: String, log: org.slf4j.Logger): Unit = {
-    val q = ledger(spark)
-    q.add(msg)
-    while (q.size > advisoryLedgerCap) q.poll()
-    log.warn(msg)
+      a: Advisory, log: org.slf4j.Logger): Unit = {
+    val l = ledger(spark)
+    l.synchronized {
+      val s = l.seq; l.seq += 1
+      l.queue.add((s, a))
+      while (l.queue.size > advisoryLedgerCap) l.queue.poll()
+      val key = (a.op, a.knob)
+      l.slots.remove(key) // re-insert so eldest-by-LAST-fire evicts first
+      l.slots.put(key, (s, a))
+      val it = l.slots.entrySet().iterator()
+      while (l.slots.size > advisorySlotCap && it.hasNext) {
+        it.next(); it.remove()
+      }
+    }
+    log.warn(a.message)
   }
 
-  /** Every advisory fired in this session, oldest first (bounded to
-    * the newest 256) — the programmatic channel for the runtime
-    * warnings described in docs/SIZING.md. */
-  def advisories(spark: org.apache.spark.sql.SparkSession): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    ledger(spark).asScala.toSeq
+  /** Every advisory fired in this session as typed records, in fire
+    * order — the machine-actionable channel: the bounded FIFO history
+    * (newest 256) MERGED with the keep-latest (op, knob) slots, so the
+    * latest record of every distinct advisory key is always present
+    * even after a same-key burst rolled the history. */
+  def advisoryRecords(spark: org.apache.spark.sql.SparkSession): Seq[Advisory] = {
+    val l = ledger(spark)
+    l.synchronized {
+      import scala.jdk.CollectionConverters._
+      val hist = l.queue.asScala.toVector
+      val oldest = hist.headOption.map(_._1).getOrElse(l.seq)
+      val evictedLatest = l.slots.values().asScala.filter(_._1 < oldest)
+      (evictedLatest.toVector ++ hist).sortBy(_._1).map(_._2)
+    }
   }
+
+  /** Every advisory fired in this session as prose, oldest first —
+    * the human-readable view of [[advisoryRecords]] (same entries,
+    * `.message` only), kept for round-17 compatibility and described
+    * in docs/SIZING.md. */
+  def advisories(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    advisoryRecords(spark).map(_.message)
 
   /** Drop this session's recorded advisories (e.g. between phases of
     * an orchestrated run, so each phase reads only its own). */
-  def clearAdvisories(spark: org.apache.spark.sql.SparkSession): Unit =
-    ledger(spark).clear()
+  def clearAdvisories(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val l = ledger(spark)
+    l.synchronized { l.queue.clear(); l.slots.clear() }
+  }
 
   /** [[envLong]]'s Double sibling (e.g. `BENCH_SENTINEL_MAX=0.4`).
     * Rejects non-finite values too, not just unparseable ones:

@@ -66,18 +66,27 @@ object MinhashBlobSmoke {
       println(f"[$tag] pairs total $total%10d, blob $blobPairs%10d " +
         f"(expected full ${blob.toLong * (blob - 1) / 2}) " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
-      // the listener delivers asynchronously; poll the session ledger
-      def advisory = Graft.advisories(spark).find(_.contains("band bucket"))
+      // the listener delivers asynchronously; poll the session ledger —
+      // the STRUCTURED channel (round 18): match on typed fields, no
+      // substring over the prose
+      def advisory = Graft.advisoryRecords(spark).find(a =>
+        a.op == "dd_minhash_lsh" && a.knob == "graft.minhash.maxBucket" &&
+          a.measured > a.cap)
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       while (advisory.isEmpty && System.nanoTime() < deadline)
         Thread.sleep(100)
-      println(s"[$tag] advisory: " +
-        advisory.map(_.takeWhile(_ != '.')).getOrElse("(silent)"))
+      println(s"[$tag] advisory: " + advisory.map(a =>
+        s"knob ${a.knob}, cap ${a.cap}, measured ${a.measured}, " +
+          s"bound ${a.bound}").getOrElse("(silent)"))
       // the advisory firing at scale is the POINT of this smoke: a
       // regression where the capped run drops the blob silently must
       // fail here, not print "(silent)" and pass on counts alone
       require(advisory.isDefined == expectAdvisory,
         s"[$tag] expected advisory fired=$expectAdvisory, got $advisory")
+      // fired at the default cap ⇒ the measured bucket must be the
+      // planted blob's (≲ blob members, ≥ the 1024 cap it crossed)
+      advisory.foreach(a => require(a.measured > 1024L && a.measured <= blob,
+        s"[$tag] measured bucket ${a.measured} outside (1024, $blob]"))
       blobPairs
     }
     val atDefault = run("cap=1024 (default)", expectAdvisory = true)

@@ -112,9 +112,13 @@ object StreamDropSmoke {
         f"vs advisory bound C($w,2) = $bound")
       Graft.clearAdvisories(spark)
       val adv = graft.streaming.Streams.reportDrops(spark, drops, worst)
-      println("advisory: " + adv.map(_.takeWhile(_ != '.')).getOrElse("(silent)"))
+      println("advisory: " +
+        adv.map(_.message.takeWhile(_ != '.')).getOrElse("(silent)"))
       require(adv.isDefined && missing > 0 && missing <= bound,
         s"loss must be real and within the quoted bound: missing=$missing bound=$bound")
+      // the structured record must quote the same arithmetic (round 18)
+      require(adv.exists(a => a.measured == w && a.bound == bound),
+        s"record fields must match the accumulators: $adv")
       require(Graft.advisories(spark).exists(_.contains("late<->late")),
         "advisory must reach the session ledger")
     } finally q.stop()

@@ -128,7 +128,8 @@ object StreamSmoke {
       // bound — silent when nothing was capped (the expected outcome
       // on this healthy corpus, where hot buckets don't exist)
       println("drop advisory: " + graft.streaming.Streams
-        .reportDrops(spark, drops, worst).getOrElse("(none - no drops)"))
+        .reportDrops(spark, drops, worst).map(_.message)
+        .getOrElse("(none - no drops)"))
     } finally q.stop()
     spark.stop()
   }

@@ -190,22 +190,29 @@ object Dedup {
     *    disk at 2× the corpus; the only remaining escape is zstd
     *    (measured: 560.5 s at 10M docs, formula-exact pair count).
     *
-    * Advisory only — the operator's output is unaffected. */
+    * Advisory only — the operator's output is unaffected. The record's
+    * `measured` is the corpus size and `cap` the warn threshold — here
+    * the retry action is the named ESCAPE (tier-0 / zstd), not
+    * "raise knob to measured". */
   private[graft] def ngramShuffleWarning(nDocs: Long, mhPrefixSlots: Int,
-      warnDocs: Long, tier0WarnDocs: Long = 8000000L): Option[String] =
+      warnDocs: Long, tier0WarnDocs: Long = 8000000L): Option[graft.Advisory] =
     if (mhPrefixSlots == 0 && nDocs >= warnDocs)
-      Some(s"dd_ngram_jaccard over $nDocs documents with the exact " +
+      Some(graft.Advisory("dd_ngram_jaccard", "graft.ngram.mhPrefixSlots",
+        cap = warnDocs, measured = nDocs, bound = -1L,
+        s"dd_ngram_jaccard over $nDocs documents with the exact " +
         "candidate shuffle: at 5M docs this tier-1 shuffle exceeded " +
         "78 GB/box of lz4 spill (ENOSPC, SURVEY 8.4.3e). Consider " +
         "graft.ngram.mhPrefixSlots=16 (79% shuffle discard, zero " +
         "measured pair loss through 10M docs) or " +
-        "spark.io.compression.codec=zstd.")
+        "spark.io.compression.codec=zstd."))
     else if (mhPrefixSlots > 0 && nDocs >= tier0WarnDocs)
-      Some(s"dd_ngram_jaccard over $nDocs documents with tier-0 " +
+      Some(graft.Advisory("dd_ngram_jaccard", "spark.io.compression.codec",
+        cap = tier0WarnDocs, measured = nDocs, bound = -1L,
+        s"dd_ngram_jaccard over $nDocs documents with tier-0 " +
         s"(mhPrefixSlots=$mhPrefixSlots): the slimmed candidate shuffle " +
         "hit the same ~78 GB/box lz4 spill wall at 10M docs (ENOSPC, " +
         "SURVEY 8.4.3f). Set spark.io.compression.codec=zstd — measured " +
-        "to complete at 10M docs with the formula-exact pair set.")
+        "to complete at 10M docs with the formula-exact pair set."))
     else None
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
@@ -456,8 +463,12 @@ object Dedup {
     // when any bucket measurably crossed the cap — the near-verbatim-
     // blob silent-loss case the scaladoc below can only describe
     ensureCapAdvisoryListener(spark)
+    // driver-side footer count, stamped into the observation name so
+    // the pruned-observation advisory can quote the corpus size (the
+    // benign-vs-degenerate dial; one footer read, no scan)
+    val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
     // shared two-tier exact verification (see exactVerify)
-    exactVerify(minhashCandidates(base), base)
+    exactVerify(minhashCandidates(base, nDocs = nDocs), base)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -491,7 +502,7 @@ object Dedup {
     * oracle-checkable. Default mirrors the streaming variant's
     * per-bucket member cap. */
   private[graft] def minhashCandidates(docs: DataFrame,
-      maxBucket: Int = -1): DataFrame = {
+      maxBucket: Int = -1, nDocs: Long = -1L): DataFrame = {
     val cap =
       if (maxBucket > 0) maxBucket
       else confLong(docs.sparkSession, "graft.minhash.maxBucket", 1024L).toInt
@@ -522,7 +533,7 @@ object Dedup {
       // (max-only metrics — the window re-runs on both self-join
       // sides above the reused band exchange)
       .transform(observeCapMetrics(_, bucketMetricsPrefix,
-        col("bucket_m"), cap))
+        col("bucket_m"), cap, nDocs))
       .where(col("bucket_m") <= cap)
       .drop("bucket_m")
     kept.alias("a").join(kept.alias("b"),
@@ -688,6 +699,21 @@ object Dedup {
     * C(8,4) = 70 tables of 32-bit keys. */
   private[graft] def simhashBands(docs: DataFrame, chunkBits: Int,
       chunksPerKey: Int): DataFrame = {
+    // the baked-key encoding's preconditions, EXPLICIT (r17 ADVICE): a
+    // future (chunkBits, chunksPerKey) whose subset keys reach bit 56,
+    // or whose table count overflows the 8 high bits, would silently
+    // merge distinct tables' buckets and inflate candidates — fail the
+    // construction instead. Both shipped constructions (16,1)/(8,4)
+    // satisfy this with room.
+    require(chunkBits * chunksPerKey <= 56,
+      s"simhashBands: subset keys need chunkBits*chunksPerKey <= 56 " +
+        s"bits to coexist with the baked table index, got " +
+        s"$chunkBits*$chunksPerKey")
+    val nTables =
+      (0 until 64 / chunkBits).combinations(chunksPerKey).size
+    require(nTables <= (1 << (64 - 56)),
+      s"simhashBands: $nTables tables overflow the ${64 - 56} high bits " +
+        "reserved for the baked table index")
     val chunk = simhashChunk(chunkBits) _
     // the table index is BAKED into the key's high bits (subset keys
     // are < 2^(chunkBits*chunksPerKey) ≤ 2^32, table count ≤ 70 < 2^7,
@@ -809,7 +835,7 @@ object Dedup {
     // the bucketed route's assignment shares ivfParts' per-vector
     // aggregate shape — same sort-fallback spill regime at frontier N
     if (nVecs > exactMax)
-      Similarity.sortFallbackAdvisory(spark, nVecs)
+      Similarity.sortFallbackAdvisory(spark, nVecs, op = "dd_embed_cosine")
         .foreach(graft.Graft.advise(spark, _, log))
     if (nVecs <= exactMax) {
       val e = t(spark, dir, "embeddings")
@@ -848,7 +874,7 @@ object Dedup {
       // observation riding the sharded stream whenever a real cell
       // crossed the cap — the skewed-corpus case 4·√N cannot see.
       ensureCapAdvisoryListener(spark)
-      val a = embedCells(spark, dir, cellCap)
+      val a = embedCells(spark, dir, cellCap, nVecs)
       a.alias("a").join(a.alias("b"),
           scoreOnceCond(a.columns.contains("other")))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -923,9 +949,11 @@ object Dedup {
     * the logs rather than the source. Advisory only — the routing
     * itself is the documented default. */
   private[graft] def embedRouteAdvisory(nVecs: Long,
-      exactMax: Long): Option[String] =
+      exactMax: Long): Option[graft.Advisory] =
     if (nVecs > exactMax)
-      Some(s"dd_embed_cosine over $nVecs vectors routes BUCKETED " +
+      Some(graft.Advisory("dd_embed_cosine", "graft.embedCosine.exactMax",
+        cap = exactMax, measured = nVecs, bound = -1L,
+        s"dd_embed_cosine over $nVecs vectors routes BUCKETED " +
         s"(exactMax=$exactMax): pairs score within IVF cells only. " +
         "Measured pair-level miss (scale-stable through 1M vectors, " +
         "SURVEY 8.4.8) under the default boundary multi-probe " +
@@ -939,7 +967,7 @@ object Dedup {
         "down to ~3%/2.7% for +15%/+31% wall); probeMargin=0 reverts " +
         "to single-cell assignment (~2-4% miss at cos>=0.9995). For " +
         "exhaustive pair mining raise graft.embedCosine.exactMax " +
-        "knowingly (N^2/2 dot products).")
+        "knowingly (N^2/2 dot products)."))
     else None
 
   /** CORPUS-AWARE mega-cell cap default (round 14; measured, SURVEY
@@ -991,10 +1019,12 @@ object Dedup {
     * contract the fixed cap no longer delivered, and nothing at
     * runtime said the cap was binding. */
   private[graft] def embedCapAdvisory(nVecs: Long, exactMax: Long,
-      cellCap: Long): Option[String] = {
+      cellCap: Long): Option[graft.Advisory] = {
     val target = embedCosineMaxCellSizing(nVecs)
     if (nVecs > exactMax && cellCap < target)
-      Some(s"dd_embed_cosine cell cap $cellCap is BELOW the measured " +
+      Some(graft.Advisory("dd_embed_cosine", "graft.embedCosine.maxCell",
+        cap = cellCap, measured = target, bound = -1L,
+        s"dd_embed_cosine cell cap $cellCap is BELOW the measured " +
         s"zero-miss sizing 4*sqrt(N) = $target for this corpus " +
         s"($nVecs vectors): IVF cells crossing the cap are hash-split " +
         "and cross-shard pairs are not scored. Measured cap ladder at " +
@@ -1006,7 +1036,7 @@ object Dedup {
         "~24% at ~1.0x (~145M). Raise " +
         "graft.embedCosine.maxCell knowingly (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
-        "measured loss.")
+        "measured loss."))
     else None
   }
 
@@ -1039,8 +1069,9 @@ object Dedup {
     * sides above a reused exchange re-run anything above the exchange,
     * e.g. the unprobed window path), and a sum/count would silently
     * double where a max cannot. */
-  private[graft] def observeCellMetrics(df: DataFrame, cellCap: Long): DataFrame =
-    observeCapMetrics(df, cellMetricsPrefix, col("cnt"), cellCap)
+  private[graft] def observeCellMetrics(df: DataFrame, cellCap: Long,
+      nRows: Long = -1L): DataFrame =
+    observeCapMetrics(df, cellMetricsPrefix, col("cnt"), cellCap, nRows)
 
   /** Name PREFIX of the [[minhashCandidates]] band-bucket observation
     * — the minhash analogue of [[cellMetricsPrefix]] (round 16): a
@@ -1069,10 +1100,16 @@ object Dedup {
     * partial-loss shape — a capped blob amid a corpus that still
     * yields results — delivers the measured advisory as before. */
   private[graft] def observeCapMetrics(df: DataFrame, prefix: String,
-      cnt: Column, cap: Long): DataFrame =
+      cnt: Column, cap: Long, nRows: Long = -1L): DataFrame =
+    // nRows (the driver-side footer corpus count, round 18) rides the
+    // NAME, not the metrics row: the pruned-observation fallback fires
+    // exactly when the metrics never deliver, so anything it quotes
+    // must survive in the one artifact that does — the analyzed plan's
+    // CollectMetrics name. Deterministic per corpus, so identical
+    // constructions still share a name (the semanticHash contract).
     df.observe(
       s"$prefix/${Integer.toHexString(
-        df.queryExecution.analyzed.semanticHash())}/cap=$cap",
+        df.queryExecution.analyzed.semanticHash())}/cap=$cap/n=$nRows",
       max(cnt).as("max_cnt"),
       max(lit(cap)).as("cap"))
 
@@ -1080,9 +1117,15 @@ object Dedup {
     * measured band bucket crosses the member cap — i.e. at least one
     * bucket is being dropped from candidate generation. */
   private[graft] def minhashBucketAdvisory(maxBucket: Long,
-      cap: Long): Option[String] =
+      cap: Long): Option[graft.Advisory] =
     if (cap > 0 && maxBucket > cap)
-      Some(s"dd_minhash_lsh MEASURED band bucket of $maxBucket members " +
+      // bound: the dropped bucket loses ALL its candidate pairs —
+      // C(m, 2) of the measured worst bucket (exact for the blob shape,
+      // where every band's bucket is the same m members)
+      Some(graft.Advisory("dd_minhash_lsh", "graft.minhash.maxBucket",
+        cap = cap, measured = maxBucket,
+        bound = maxBucket * (maxBucket - 1) / 2,
+        s"dd_minhash_lsh MEASURED band bucket of $maxBucket members " +
         s"crosses graft.minhash.maxBucket = $cap and is DROPPED from " +
         "candidate generation. Scattered degenerate bands are harmless " +
         "(a true j>=0.5 pair collides in ~4 of 16 bands), but a " +
@@ -1090,7 +1133,7 @@ object Dedup {
         "NOT collapse — crosses in ALL its bands and its pairs are " +
         "silently lost. Collapse blobs first (dd_exact, then near-dup " +
         s"on the residue), or set graft.minhash.maxBucket >= $maxBucket " +
-        "knowingly (per-bucket candidate budget ~m^2/2 instances).")
+        "knowingly (per-bucket candidate budget ~m^2/2 instances)."))
     else None
 
   /** The measured-cell advisory text: fires iff the largest measured
@@ -1099,10 +1142,16 @@ object Dedup {
     * go unscored. Quotes the measured split arithmetic rather than the
     * N-derived proxy. */
   private[graft] def measuredCellAdvisory(maxCell: Long,
-      cellCap: Long): Option[String] =
+      cellCap: Long): Option[graft.Advisory] =
     if (cellCap > 0 && maxCell > cellCap) {
       val shards = math.ceil(maxCell.toDouble / cellCap).toLong
-      Some(s"dd_embed_cosine MEASURED post-replication IVF cell of " +
+      // bound: of the split cell's C(m, 2) pairs, the ~(1 − 1/shards)
+      // fraction landing cross-shard is not scored
+      val cellPairs = maxCell * (maxCell - 1) / 2
+      Some(graft.Advisory("dd_embed_cosine", "graft.embedCosine.maxCell",
+        cap = cellCap, measured = maxCell,
+        bound = cellPairs - cellPairs / shards,
+        s"dd_embed_cosine MEASURED post-replication IVF cell of " +
         s"$maxCell members crosses the cell cap $cellCap: that cell is " +
         s"hash-split into $shards shards and ~" +
         f"${(1.0 - 1.0 / shards) * 100}%.0f%% of ITS pairs are not " +
@@ -1114,7 +1163,7 @@ object Dedup {
         "not the 4*sqrt(N) sizing — set graft.embedCosine.maxCell >= " +
         s"$maxCell to score this cell unsplit (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
-        "split.")
+        "split."))
     } else None
 
   private val capAdvisorySessions =
@@ -1134,25 +1183,43 @@ object Dedup {
     * bucket crosses the cap: zero candidates survive, the result is
     * empty, and the measured advisory the case most needs has no
     * metrics to deliver). This advisory cannot quote the measured
-    * max — the observation never ran to completion — so it names the
-    * condition and the knob generically, with the cap parsed from the
-    * observation name. */
-  private[graft] def prunedObservationAdvisory(name: String): String = {
+    * max — the observation never ran to completion (`measured = -1` on
+    * the record) — so it names the condition and the knob generically,
+    * with the cap AND the driver-side corpus count parsed from the
+    * observation name. The corpus count (round 18, closing the r17
+    * benign-vs-degenerate finding) is what lets a consumer read
+    * "EMPTY result" without a re-run: N = 0 is benign, N = 502 000
+    * with duplicates expected means the cap dropped everything. */
+  private[graft] def prunedObservationAdvisory(name: String): graft.Advisory = {
     val (op, knob) =
       if (name.startsWith(cellMetricsPrefix))
         ("dd_embed_cosine", "graft.embedCosine.maxCell")
       else ("dd_minhash_lsh", "graft.minhash.maxBucket")
-    val cap = name.split("/cap=").lift(1).getOrElse("?")
-    s"$op: this route's result (its branch, in a composite query) is " +
+    def seg(k: String): Option[String] =
+      name.split(s"/$k=").lift(1).map(_.takeWhile(_ != '/'))
+    val cap = seg("cap").getOrElse("?")
+    // pre-r18 names carry no /n= segment; n = -1 means "not stamped"
+    val n = seg("n").flatMap(_.toLongOption).getOrElse(-1L)
+    val corpusNote =
+      if (n == 0) "The corpus had 0 rows — this empty result is BENIGN. "
+      else if (n > 0)
+        s"The corpus had $n rows, so if duplicates were expected this " +
+          "empty result is the degenerate shape, not an empty input. "
+      else ""
+    graft.Advisory(op, knob,
+      cap = seg("cap").flatMap(_.toLongOption).getOrElse(-1L),
+      measured = -1L, bound = -1L,
+      s"$op: this route's result (its branch, in a composite query) is " +
       "EMPTY and the cap observation was pruned with the empty plan " +
       "(AQE empty-relation propagation), so no measured " +
-      "advisory is available. An empty result can be benign (empty or " +
+      s"advisory is available. ${corpusNote}An empty result can be " +
+      "benign (empty or " +
       "pair-free input) — but if duplicates were expected, the cap " +
       s"($knob = $cap) may have dropped EVERY candidate (a fully-" +
       "degenerate corpus, e.g. one near-verbatim blob larger than the " +
       "cap, hits exactly this). Collapse blobs first (dd_exact, then " +
       s"near-dup on the residue) or re-run with $knob raised past the " +
-      "largest duplicate-blob size."
+      "largest duplicate-blob size.")
   }
 
   /** Register (once per session) the QueryExecutionListener that turns
@@ -1179,7 +1246,7 @@ object Dedup {
             // observations (one per distinct route subtree) — advise
             // on each, dispatching by prefix
             delivered.foreach { case (name, row) =>
-              val sink: Option[(Long, Long) => Option[String]] =
+              val sink: Option[(Long, Long) => Option[graft.Advisory]] =
                 if (name.startsWith(cellMetricsPrefix))
                   Some(measuredCellAdvisory(_, _))
                 else if (name.startsWith(bucketMetricsPrefix))
@@ -1252,7 +1319,7 @@ object Dedup {
     * same exchange; the probed path computes shard AND otherShard on
     * the slim pre-payload stream inside ivfProbedParts instead. */
   private[graft] def embedCells(spark: SparkSession, dir: String,
-      cellCap: Long): DataFrame = {
+      cellCap: Long, nVecs: Long = -1L): DataFrame = {
     // graft.embedCosine.probeMargin > 0 (DEFAULT 0.01) turns on
     // boundary multi-probe (Similarity.ivfProbedParts): vectors within
     // that top-2 centroid margin of a Voronoi boundary join BOTH
@@ -1273,7 +1340,7 @@ object Dedup {
       // window + count-aggregate pair re-runs the assignment pass.
       // The explicit cluster-key repartition stays the materialization
       // point both self-join sides read back (ReusedExchange).
-      Similarity.ivfProbedParts(spark, dir, pm, cellCap)
+      Similarity.ivfProbedParts(spark, dir, pm, cellCap, nVecs)
         .repartition(col("cluster"))
     else {
       val byCell = Window.partitionBy("cluster")
@@ -1285,7 +1352,7 @@ object Dedup {
         // same measured-cell observation as the probed path; max-only
         // metrics stay correct though the window re-runs on both
         // self-join sides above the reused exchange
-        .transform(observeCellMetrics(_, cellCap))
+        .transform(observeCellMetrics(_, cellCap, nVecs))
         .drop("cnt")
     }
   }

@@ -121,9 +121,14 @@ object Similarity {
     * of the scored stream sees ~all its vectors' groups) crosses the
     * session threshold. Raising the threshold is cheap here: TopKAgg
     * k ≤ 2 buffers are tens of bytes, so even millions of hash-resident
-    * groups per task are MBs, not the GBs the sort spill costs. */
+    * groups per task are MBs, not the GBs the sort spill costs.
+    * `op` names the operator the user actually ran (the IVF
+    * assignment shape is shared by ss_ivf_topk, ss_ivf_recall, and
+    * the bucketed dd_embed_cosine route) so the record is
+    * attributable; the retry semantic is the standard one — raise
+    * `knob` to at least `measured` (the groups/task estimate). */
   private[graft] def sortFallbackAdvisory(spark: SparkSession,
-      nVecs: Long): Option[String] = {
+      nVecs: Long, op: String = "ss_ivf_topk"): Option[graft.Advisory] = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val threshold =
       try spark.conf.get(key, "128").trim.toLong
@@ -138,14 +143,16 @@ object Similarity {
     // direction for a disk-filling failure mode.
     val groupsPerTask = nVecs / par
     if (groupsPerTask > threshold)
-      Some(s"IVF assignment over $nVecs vectors: ~$groupsPerTask " +
+      Some(graft.Advisory(op, key,
+        cap = threshold, measured = groupsPerTask, bound = -1L,
+        s"IVF assignment over $nVecs vectors: ~$groupsPerTask " +
         s"per-vector groups/task (parallelism $par) exceeds $key = " +
         s"$threshold, so the partial ObjectHashAggregate degrades to " +
         "sort-based and sorts/spills the N*sqrt(N) centroid-scored " +
         "stream (measured ~67 GB/task at 20M vectors in local mode — " +
         "docs/SIZING.md). Raise the threshold above the groups/task " +
         "estimate (TopKAgg buffers are tens of bytes per group) to " +
-        "keep the partial aggregate hash-resident.")
+        "keep the partial aggregate hash-resident."))
     else None
   }
 
@@ -306,10 +313,11 @@ object Similarity {
     * prunes differently below its exchange and re-runs the whole
     * N×√N assignment pass (a third scan — caught by PlanSpec). */
   private[graft] def ivfProbedParts(spark: SparkSession, dir: String,
-      probeMargin: Double, cellCap: Long): DataFrame = {
+      probeMargin: Double, cellCap: Long, nVecs: Long = -1L): DataFrame = {
     val (e, cents, _) = ivfParts(spark, dir)
     val eSpread = spread(e)
-    val slim = shardCells(probedCellAssign(eSpread, cents, probeMargin), cellCap)
+    val slim = shardCells(probedCellAssign(eSpread, cents, probeMargin),
+      cellCap, nVecs)
     eSpread.join(slim, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
         col("shard"), col("other"), col("otherShard"))
@@ -369,7 +377,8 @@ object Similarity {
     * pmod). Takes [[probedCellAssign]]'s (vec_id, cluster, other)
     * rows — or the same rows read back from parquet, which is how the
     * smoke's cap ladder amortizes the assignment pass. */
-  private[graft] def shardCells(withCells: DataFrame, cellCap: Long): DataFrame = {
+  private[graft] def shardCells(withCells: DataFrame, cellCap: Long,
+      nRows: Long = -1L): DataFrame = {
     val cnts = withCells.groupBy("cluster").agg(count(lit(1)).as("cnt"))
     def shardOf(cnt: Column): Column =
       pmod(xxhash64(col("vec_id")), ceil(cnt / lit(cellCap.toDouble)).cast("long"))
@@ -382,7 +391,7 @@ object Similarity {
       // CollectMetrics rides the stream and Dedup's session listener
       // turns `max(cnt) > cap` — the physical split/loss condition —
       // into a runtime advisory, independent of the 4·√N proxy
-      .transform(Dedup.observeCellMetrics(_, cellCap))
+      .transform(Dedup.observeCellMetrics(_, cellCap, nRows))
       .select(col("vec_id"), col("cluster"), shardOf(col("cnt")).as("shard"),
         col("other"), shardOf(col("o_cnt")).as("otherShard"))
   }
@@ -441,7 +450,8 @@ object Similarity {
     // shape the gate SFs have always dumped (byte-stable plans there)
     val capped = 2L * nprobe >= kCents
     val floor = ivfRecallFloor(nprobe, kCents)
-    sortFallbackAdvisory(spark, nVecs).foreach(graft.Graft.advise(spark, _, log))
+    sortFallbackAdvisory(spark, nVecs, op = "ss_ivf_recall")
+      .foreach(graft.Graft.advise(spark, _, log))
     val ivf = ssIvfTopK(spark, dir, nprobe, nVecs = nVecs)
       .select(col("q_id"), col("cand_id"))
     val exact = ssCosineTopK(spark, dir).select(col("q_id"), col("cand_id"))

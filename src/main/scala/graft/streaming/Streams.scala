@@ -432,10 +432,15 @@ object Streams {
     * bound 0, correctly read as harmless. Pure — callers with live
     * accumulators use [[reportDrops]]. */
   private[graft] def nearDupDropAdvisory(totalDrops: Long,
-      worstBucketDrops: Long): Option[String] =
+      worstBucketDrops: Long): Option[graft.Advisory] =
     if (totalDrops > 0) {
       val w = worstBucketDrops
-      Some(s"nearDupStream dropped $totalDrops member-arrival(s) at full " +
+      // knob is the OPERATOR PARAMETER (nearDupStream has no session
+      // conf); cap = -1 — the reporting site reads accumulators only
+      // and does not know the maxBucketMembers value the stream runs
+      Some(graft.Advisory("nearDupStream", "maxBucketMembers",
+        cap = -1L, measured = w, bound = w * (w - 1) / 2,
+        s"nearDupStream dropped $totalDrops member-arrival(s) at full " +
         "band buckets (maxBucketMembers cap). Each dropped arrival still " +
         "paired against the retained members, so member<->member pairs " +
         "are complete; what can be lost are pairs AMONG dropped arrivals " +
@@ -445,7 +450,7 @@ object Streams {
         "are one near-verbatim blob inside one horizon; ~0 if they are " +
         "scattered stragglers). Collapse exact duplicates upstream " +
         "(dedupStream first) or raise maxBucketMembers past the largest " +
-        "duplicate-blob size.")
+        "duplicate-blob size."))
     } else None
 
   /** Read the two drop accumulators and fire [[nearDupDropAdvisory]]
@@ -458,7 +463,7 @@ object Streams {
     * boundaries, not per row. */
   def reportDrops(spark: SparkSession,
       drops: org.apache.spark.util.LongAccumulator,
-      worstBucketDrops: MaxAccumulator): Option[String] = {
+      worstBucketDrops: MaxAccumulator): Option[graft.Advisory] = {
     val adv = nearDupDropAdvisory(drops.value, worstBucketDrops.value)
     adv.foreach(graft.Graft.advise(spark, _, log))
     adv
@@ -487,9 +492,14 @@ object Streams {
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.id == query.id) {
           val cur = drops.value
-          // getAndSet makes each grown value report at most once even
-          // if the engine delivers progress events concurrently
-          if (cur > lastReported.getAndSet(cur))
+          // max-CAS, not getAndSet (r17 ADVICE): two racing progress
+          // events could each read the accumulator, and the LATER
+          // getAndSet with the SMALLER read would move the watermark
+          // backwards, letting the same total re-report. accumulateAndGet
+          // with max keeps lastReported monotone; the event that raised
+          // it is the one that reports.
+          val prev = lastReported.getAndAccumulate(cur, (a, b) => math.max(a, b))
+          if (cur > prev)
             reportDrops(spark, drops, worstBucketDrops)
         }
       override def onQueryTerminated(

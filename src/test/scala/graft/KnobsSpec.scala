@@ -20,7 +20,7 @@ class KnobsSpec extends AnyFunSuite {
   // value on the shared test session (e.g. Tables.configure's
   // objectHashAggregate fallbackThreshold, asserted by
   // GraftExtensionsSpec — a bare unset here failed it cross-suite)
-  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
     val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
     finally saved.foreach {
@@ -201,8 +201,14 @@ class KnobsSpec extends AnyFunSuite {
     // ITS wall (the escape is already taken), or when the operator is
     // tuned exact on a small corpus — gate corpora must never see it.
     val warn = Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
-    assert(warn.exists(m => m.contains("mhPrefixSlots") && m.contains("zstd")),
+    assert(warn.exists(m => m.message.contains("mhPrefixSlots") &&
+        m.message.contains("zstd")),
       s"advisory must name both measured escapes: $warn")
+    // round 18: the structured record carries the fields a machine
+    // consumer acts on — op, the escape knob, threshold, corpus size
+    assert(warn.exists(a => a.op == "dd_ngram_jaccard" &&
+        a.knob == "graft.ngram.mhPrefixSlots" &&
+        a.cap == 4000000L && a.measured == 5000000L), warn.toString)
     assert(Dedup.ngramShuffleWarning(3999999L, 0, 4000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000000L, 16, 4000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000L, 0, 4000000L).isEmpty)
@@ -215,15 +221,17 @@ class KnobsSpec extends AnyFunSuite {
     // remaining measured escape — and stay silent below it. The exact
     // path's own regime (slots = 0) is unaffected by tier0WarnDocs.
     val warn = Dedup.ngramShuffleWarning(10000000L, 16, 4000000L, 8000000L)
-    assert(warn.exists(m => m.contains("tier-0") && m.contains("zstd")
-        && m.contains("8.4.3f")),
+    assert(warn.exists(m => m.message.contains("tier-0") &&
+        m.message.contains("zstd") && m.message.contains("8.4.3f")),
       s"tier-0 advisory must name the zstd escape and the ladder: $warn")
+    assert(warn.exists(_.knob == "spark.io.compression.codec"),
+      "tier-0's record must name the only remaining escape knob")
     assert(Dedup.ngramShuffleWarning(7999999L, 16, 4000000L, 8000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000L, 16, 4000000L, 8000000L).isEmpty)
     // slots = 0 above BOTH thresholds still reports the exact-path wall
     // (its message carries the tier-0 escape; it must not be shadowed)
     assert(Dedup.ngramShuffleWarning(10000000L, 0, 4000000L, 8000000L)
-      .exists(_.contains("8.4.3e")))
+      .exists(_.message.contains("8.4.3e")))
   }
 
   test("the embed bucketed-route advisory fires only when the route flips") {
@@ -232,8 +240,12 @@ class KnobsSpec extends AnyFunSuite {
     // onto it — naming the measured miss curve's section and the knob
     // that buys exactness back — and stay silent on the exact route.
     val warn = Dedup.embedRouteAdvisory(1000000L, 65536L)
-    assert(warn.exists(m => m.contains("8.4.8") && m.contains("exactMax")),
+    assert(warn.exists(m => m.message.contains("8.4.8") &&
+        m.message.contains("exactMax")),
       s"advisory must cite the measured curve and the escape knob: $warn")
+    assert(warn.exists(a => a.op == "dd_embed_cosine" &&
+        a.knob == "graft.embedCosine.exactMax" &&
+        a.cap == 65536L && a.measured == 1000000L), warn.toString)
     assert(Dedup.embedRouteAdvisory(65536L, 65536L).isEmpty)
     assert(Dedup.embedRouteAdvisory(2000L, 65536L).isEmpty)
   }
@@ -259,8 +271,13 @@ class KnobsSpec extends AnyFunSuite {
     // the corpus-aware default below the ceiling, and the exact route,
     // must stay silent — gate corpora never see it.
     val pinned = Dedup.embedCapAdvisory(4010000L, 65536L, 4096L)
-    assert(pinned.exists(m => m.contains("8.4.8d") && m.contains("maxCell")),
+    assert(pinned.exists(m => m.message.contains("8.4.8d") &&
+        m.message.contains("maxCell")),
       s"advisory must cite the measured ceiling ladder and the knob: $pinned")
+    // the record's measured field is the zero-miss sizing target — the
+    // value a retry raises graft.embedCosine.maxCell to
+    assert(pinned.exists(a => a.knob == "graft.embedCosine.maxCell" &&
+        a.cap == 4096L && a.measured == 8008L), pinned.toString)
     assert(Dedup.embedCapAdvisory(4010000L, 65536L,
       Dedup.embedCosineMaxCellDefault(4010000L)).isEmpty,
       "corpus-aware default at 4M must satisfy the sizing")
@@ -596,8 +613,14 @@ class KnobsSpec extends AnyFunSuite {
     // fire: frontier N — the advisory must name the knob and the
     // estimate so the operator can size the raise
     val fired = Similarity.sortFallbackAdvisory(spark, 20L * 1000 * 1000)
-    assert(fired.exists(m => m.contains(key) &&
-      m.contains(s"${20L * 1000 * 1000 / par} ")), fired.toString)
+    assert(fired.exists(m => m.message.contains(key) &&
+      m.message.contains(s"${20L * 1000 * 1000 / par} ")), fired.toString)
+    // record fields: knob = the session threshold key, cap = the
+    // SESSION's threshold (the test session raises it), measured = the
+    // groups/task estimate the retry raises it past
+    assert(fired.exists(a => a.knob == key &&
+      a.cap == spark.conf.get(key, "128").toLong &&
+      a.measured == 20L * 1000 * 1000 / par), fired.toString)
     // silent again once the operator raises the threshold past the
     // estimate — the advisory reads the SESSION conf, not the default
     withConf(key -> (20L * 1000 * 1000 / par + 1).toString) {
@@ -718,9 +741,16 @@ class KnobsSpec extends AnyFunSuite {
     assert(Dedup.minhashBucketAdvisory(1024L, 1024L).isEmpty)
     assert(Dedup.minhashBucketAdvisory(12L, 1024L).isEmpty)
     val at = Dedup.minhashBucketAdvisory(4000L, 1024L)
-    assert(at.exists(m => m.contains("4000 members") &&
-      m.contains("maxBucket = 1024") && m.contains("maxBucket >= 4000")),
+    assert(at.exists(m => m.message.contains("4000 members") &&
+      m.message.contains("maxBucket = 1024") &&
+      m.message.contains("maxBucket >= 4000")),
       at.toString)
+    // the structured fields the canonical retry loop consumes: raise
+    // `knob` to >= `measured`; bound = C(4000, 2) candidate pairs of
+    // the dropped worst bucket
+    assert(at.exists(a => a.op == "dd_minhash_lsh" &&
+      a.knob == "graft.minhash.maxBucket" && a.cap == 1024L &&
+      a.measured == 4000L && a.bound == 4000L * 3999 / 2), at.toString)
   }
 
   test("pruned cap observation advises on the embed route too (empty assignment)") {
@@ -893,31 +923,126 @@ class KnobsSpec extends AnyFunSuite {
     assert(Graft.advisories(spark).isEmpty)
   }
 
+  test("a same-key advisory burst cannot evict another key's latest record") {
+    // the r17 eviction finding: a streaming drop burst (one entry per
+    // micro-batch, all (nearDupStream, maxBucketMembers)) filled the
+    // 256-entry FIFO and silently evicted the one pruned-observation
+    // advisory an orchestrator needed. Round 18: a keep-latest slot per
+    // (op, knob) key rides alongside the FIFO, and reads merge the two.
+    val log = org.slf4j.LoggerFactory.getLogger("graft.KnobsSpec")
+    Graft.clearAdvisories(spark)
+    // the advisory that must survive, fired FIRST (oldest)
+    val pruned = Dedup.prunedObservationAdvisory(
+      "graft.minhash.bucketStats/ab12/cap=8/n=40")
+    graft.Graft.advise(spark, pruned, log)
+    // 300 near-identical drop reports — far past the 256 FIFO bound
+    (1 to 300).foreach(i => graft.streaming.Streams
+      .nearDupDropAdvisory(i.toLong, i.toLong)
+      .foreach(graft.Graft.advise(spark, _, log)))
+    val recs = Graft.advisoryRecords(spark)
+    // the FIFO alone would have rolled the pruned record out; the slot
+    // keeps its LATEST (here: only) firing readable, in fire order
+    assert(recs.head.op == "dd_minhash_lsh" && recs.head.measured == -1L,
+      s"the pruned-observation record must survive the burst: " +
+        s"${recs.take(2)}")
+    assert(recs.count(_.op == "dd_minhash_lsh") == 1)
+    // the burst itself is intact: newest 256 in order, latest last
+    assert(recs.last.op == "nearDupStream" && recs.last.measured == 300L &&
+      recs.last.bound == 300L * 299 / 2, recs.last.toString)
+    assert(recs.size == 257, s"256 FIFO + 1 slot-rescued: ${recs.size}")
+    // the prose view stays consistent with the records
+    assert(Graft.advisories(spark).size == recs.size)
+    Graft.clearAdvisories(spark)
+    assert(Graft.advisoryRecords(spark).isEmpty)
+  }
+
+  test("the canonical retry loop recovers a capped blob from the advisory record alone") {
+    // the round-16/17 machinery's end-to-end payoff, pinned: an
+    // orchestrator runs dd_minhash_lsh, finds the measured bucket
+    // advisory on the ledger, and retries with the knob raised to the
+    // record's `measured` — NO regex over the prose, only typed fields.
+    import spark.implicits._
+    val blobText = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the stream flows past the mill"
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // the measured-advisory shape: a blob over the cap AMID survivors
+    // (a pure-blob corpus AQE-prunes the observation — pinned elsewhere)
+    val docs = (0 until 60).map(i => (i.toLong, s"$blobText tail$i")) ++
+      Seq((900L, s"$pairA endings"), (901L, s"$pairA closings"))
+    val d = java.nio.file.Files.createTempDirectory("knob-retry-loop").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fullPairs = 60L * 59 / 2 + 1
+    Graft.clearAdvisories(spark)
+    val capped = withConf("graft.minhash.maxBucket" -> "8") {
+      Dedup.ddMinhashLsh(spark, d).count()
+    }
+    assert(capped == 1L, s"precondition: the blob drops at cap 8: $capped")
+    // ---- the canonical consumer: these five lines ARE the contract ----
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def rec = Graft.advisoryRecords(spark).find(a =>
+      a.op == "dd_minhash_lsh" && a.measured > a.cap)
+    while (rec.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val adv = rec.getOrElse(fail(s"no advisory record: " +
+      s"${Graft.advisoryRecords(spark)}"))
+    val recovered = withConf(adv.knob -> adv.measured.toString) {
+      Dedup.ddMinhashLsh(spark, d).count()
+    }
+    // ---- end of consumer ----
+    assert(adv.knob == "graft.minhash.maxBucket" && adv.cap == 8L &&
+      adv.measured >= 50L && adv.measured <= 60L, adv.toString)
+    assert(recovered == fullPairs,
+      s"retry at knob=${adv.knob} -> ${adv.measured} must recover the " +
+        s"full pair set: $recovered vs $fullPairs")
+  }
+
   test("pruned-observation advisory names the route and knob by prefix (pure)") {
     val cell = Dedup.prunedObservationAdvisory(
-      "graft.embedCosine.cellStats/ab12/cap=4096")
-    assert(cell.contains("dd_embed_cosine") &&
-      cell.contains("graft.embedCosine.maxCell = 4096") &&
-      cell.contains("cap observation was pruned"), cell)
+      "graft.embedCosine.cellStats/ab12/cap=4096/n=120")
+    assert(cell.message.contains("dd_embed_cosine") &&
+      cell.message.contains("graft.embedCosine.maxCell = 4096") &&
+      cell.message.contains("cap observation was pruned"), cell.message)
+    // round 18: the corpus count parsed from the name is the
+    // benign-vs-degenerate dial — a non-trivial N must read as alarming
+    assert(cell.message.contains("The corpus had 120 rows"), cell.message)
+    assert(cell.op == "dd_embed_cosine" &&
+      cell.knob == "graft.embedCosine.maxCell" &&
+      cell.cap == 4096L && cell.measured == -1L, cell.toString)
     val bucket = Dedup.prunedObservationAdvisory(
+      "graft.minhash.bucketStats/cd34/cap=1024/n=502000")
+    assert(bucket.message.contains("dd_minhash_lsh") &&
+      bucket.message.contains("graft.minhash.maxBucket = 1024") &&
+      bucket.message.contains("The corpus had 502000 rows"), bucket.message)
+    // N = 0 is the benign shape and must say so
+    val empty = Dedup.prunedObservationAdvisory(
+      "graft.minhash.bucketStats/cd34/cap=1024/n=0")
+    assert(empty.message.contains("0 rows") &&
+      empty.message.contains("BENIGN"), empty.message)
+    // a pre-r18 name without /n= still parses (no corpus sentence)
+    val legacy = Dedup.prunedObservationAdvisory(
       "graft.minhash.bucketStats/cd34/cap=1024")
-    assert(bucket.contains("dd_minhash_lsh") &&
-      bucket.contains("graft.minhash.maxBucket = 1024"), bucket)
+    assert(legacy.cap == 1024L && !legacy.message.contains("The corpus had"),
+      legacy.message)
   }
 
   test("measured-cell advisory thresholds (pure)") {
     assert(Dedup.measuredCellAdvisory(128L, 128L).isEmpty)
     assert(Dedup.measuredCellAdvisory(100L, 4096L).isEmpty)
     val at2 = Dedup.measuredCellAdvisory(129L, 128L)
-    assert(at2.exists(m => m.contains("129 members") &&
-      m.contains("cell cap 128") && m.contains("2 shards") &&
-      m.contains("~50%") &&
+    assert(at2.exists(m => m.message.contains("129 members") &&
+      m.message.contains("cell cap 128") && m.message.contains("2 shards") &&
+      m.message.contains("~50%") &&
       // the advice must be actionable: the exact knob value that
       // clears the split, not just "raise it"
-      m.contains("maxCell >= 129")), at2.toString)
+      m.message.contains("maxCell >= 129")), at2.toString)
+    // structured: measured = the split cell, bound = its cross-shard
+    // (unscored) pair count C(129,2) − C(129,2)/2
+    assert(at2.exists(a => a.knob == "graft.embedCosine.maxCell" &&
+      a.cap == 128L && a.measured == 129L &&
+      a.bound == 129L * 128 / 2 - 129L * 128 / 2 / 2), at2.toString)
     val at5 = Dedup.measuredCellAdvisory(600L, 128L)
-    assert(at5.exists(m => m.contains("5 shards") && m.contains("~80%")),
-      at5.toString)
+    assert(at5.exists(m => m.message.contains("5 shards") &&
+      m.message.contains("~80%")), at5.toString)
   }
 
   test("env override parses name the knob on malformed input (envLong/envDouble)") {

@@ -600,8 +600,14 @@ class StreamsSpec extends AnyFunSuite {
         s"bound must be exact on the blob shape: lost=${actualLost.size}")
       graft.Graft.clearAdvisories(spark)
       val adv = Streams.reportDrops(spark, dropAcc, worstAcc)
-      assert(adv.exists(m => m.contains(s"dropped $w arrival(s)") &&
-        m.contains(s"up to ${w * (w - 1) / 2} late<->late")), adv.toString)
+      assert(adv.exists(m => m.message.contains(s"dropped $w arrival(s)") &&
+        m.message.contains(s"up to ${w * (w - 1) / 2} late<->late")),
+        adv.toString)
+      // round 18: the record carries the same arithmetic typed — the
+      // worst bucket as `measured`, C(w,2) as `bound`
+      assert(adv.exists(a => a.op == "nearDupStream" &&
+        a.knob == "maxBucketMembers" && a.measured == w &&
+        a.bound == w * (w - 1) / 2), adv.toString)
       // and the advisory reached the session ledger — the programmatic
       // channel an orchestrator reads
       assert(graft.Graft.advisories(spark).exists(_.contains("late<->late")),
