@@ -244,7 +244,23 @@ object Streams {
     * resets with the bucket's horizon eviction — by then every dropped
     * arrival's pairing window has passed and its drops are already
     * reported). Adding the field changes the state encoder: checkpoints
-    * written by earlier rounds do not resume against this version. */
+    * written by earlier rounds do not resume against this version —
+    * the query fails fast at start with
+    * STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE (pinned in
+    * StreamsRestartSpec on this exact old→new shape); the drain +
+    * fresh-checkpoint upgrade recipe is in docs/SIZING.md.
+    *
+    * `dropped` is DELIBERATELY not aged with the member pruning (the
+    * r17-ADVICE alternative was considered and rejected): on a
+    * never-empty hot bucket the cumulative count makes C(w,2) a loose
+    * LIFETIME bound — drops from different horizons can never pair —
+    * but an aged counter fed through the max accumulator would bound
+    * only the worst SINGLE horizon, and Σᵢ C(wᵢ,2) can exceed
+    * max C(wᵢ,2): an aged "bound" silently understates lifetime loss,
+    * the one direction an upper bound must never err in. Loose-safe
+    * beats tight-wrong; per-phase reading (clearAdvisories between
+    * ingestion phases) is the documented way to keep it interpretable
+    * (docs/SIZING.md, streaming section). */
   case class BucketState(ids: Array[Long], tss: Array[Long], dropped: Long)
 
   /** Streaming NEAR-dup detection — the incremental form of

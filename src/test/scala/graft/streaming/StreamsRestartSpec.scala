@@ -36,6 +36,9 @@ object StreamsRestartSpec {
   // case classes have no stable TypeTag)
   case class V1(n: Long)
   case class V2(n: Long, extra: Long)
+  // the PRE-r17 near-dup state shape (BucketState before `dropped` was
+  // added) — used to write a checkpoint the real operator must reject
+  case class OldBucketState(ids: Array[Long], tss: Array[Long])
 }
 
 class StreamsRestartSpec extends AnyFunSuite {
@@ -293,5 +296,98 @@ class StreamsRestartSpec extends AnyFunSuite {
         msg.contains("schema_not_compatible"),
       s"expected a state-schema incompatibility error " +
         s"(conditions=$conditions), got: ${ex.getMessage}")
+  }
+
+  test("a pre-r17 nearDupStream checkpoint is rejected by the real operator") {
+    // The V1→V2 pin above proves the MECHANISM on a toy operator; this
+    // one pins the SHIPPED upgrade path an operator actually hits
+    // (docs/SIZING.md, "Streaming near-dup operations"): a checkpoint
+    // whose keyed state is the pre-r17 BucketState(ids, tss) — written
+    // here by a faithful replica of the old stage: same banding
+    // upstream, same (band_idx, band_hash) key, same CandPair output,
+    // same exact-verify join downstream — must fail FAST at restart
+    // under the r17+ BucketState(ids, tss, dropped) encoder with the
+    // recognizable state-schema condition, not decode garbage pairs.
+    import StreamsRestartSpec.OldBucketState
+    import StreamsSpec.Doc
+    import graft.functions.{Dedup, MinHashRow}
+    import org.apache.spark.sql.functions.{col, posexplode, array}
+    val text = (0 until 30).map(i => s"ckpt tok$i shared body").mkString(" ")
+    val corpus = Seq(Doc(1, ts(1), text), Doc(2, ts(5), text),
+      Doc(3, ts(9), text)).toDF()
+    val ckpt = dir("neardup-old-ckpt"); val out = dir("neardup-old-out")
+    val horizonMs = 60 * 60000L
+
+    // the pre-r17 stage: identical plan shape, state value minus `dropped`
+    def oldNearDup(docs: org.apache.spark.sql.DataFrame) = {
+      val src = docs.withWatermark("ts", "60 minutes")
+      val sigs = src.select(col("doc_id"), col("ts"),
+        MinHashRow.minhash32_row(Dedup.shingles(col("text"))).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("ts"),
+        posexplode(array(Dedup.bandHashCols(col("sig")): _*))
+          .as(Seq("band_idx", "band_hash")))
+        .as[Streams.BandRow]
+      val cands = bands.groupByKey(r => (r.band_idx, r.band_hash))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: (Int, Int), rows: Iterator[Streams.BandRow],
+              state: GroupState[OldBucketState]) => {
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val prev = state.getOption.getOrElse(
+                OldBucketState(Array.empty[Long], Array.empty[Long]))
+              val fresh = rows.toArray.groupBy(_.doc_id).iterator
+                .map { case (id, rs) =>
+                  (id, rs.iterator.map(_.ts.getTime).min) }
+                .filter { case (id, _) => !prev.ids.contains(id) }.toArray
+              val outPairs = for {
+                (id, t) <- fresh.iterator
+                i <- prev.ids.indices.iterator
+                if math.abs(t - prev.tss(i)) <= horizonMs
+              } yield Streams.CandPair(math.min(prev.ids(i), id),
+                math.max(prev.ids(i), id))
+              val ids = prev.ids ++ fresh.map(_._1)
+              val tss = prev.tss ++ fresh.map(_._2)
+              state.update(OldBucketState(ids, tss))
+              state.setTimeoutTimestamp(tss.max + horizonMs)
+              outPairs
+            }
+          })
+      Dedup.exactVerify(cands.toDF(), corpus.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("shs")))
+    }
+
+    val mem = MemoryStream[Doc](spark)
+    val q1 = oldNearDup(mem.toDF()).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // two waves: the pair (1,2) can only emit if wave-1 state was
+      // WRITTEN and read back in wave 2 — proves old-shape state exists
+      mem.addData(Doc(1, ts(1), text)); q1.processAllAvailable()
+      mem.addData(Doc(2, ts(5), text)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() >= 1L)
+
+    mem.addData(Doc(3, ts(9), text))
+    val ex = intercept[StreamingQueryException] {
+      val q2 = Streams.nearDupStream(mem.toDF(), corpus,
+          horizonMinutes = 60)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val conditions = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .collect { case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition) }.flatten.toSeq
+    val msg = (ex.getMessage + Option(ex.getCause).fold("")(_.getMessage))
+      .toLowerCase
+    assert(conditions.exists(c =>
+        c.contains("SCHEMA") && c.contains("COMPATIBLE")) ||
+        msg.contains("schema_not_compatible"),
+      s"the real operator must reject the pre-r17 checkpoint with the " +
+        s"state-schema condition (conditions=$conditions), " +
+        s"got: ${ex.getMessage}")
   }
 }

@@ -614,4 +614,77 @@ class StreamsSpec extends AnyFunSuite {
         graft.Graft.advisories(spark).toString)
     } finally q.stop()
   }
+
+  test("streamed loss under the cap stays within the advisory bound vs batch truth") {
+    // the StreamDropSmoke protocol as a STANDING gate (round 18): the
+    // strongest streaming-loss evidence in the repo — stream a
+    // NEAR-verbatim blob (unique tail per doc, so per-band buckets
+    // differ slightly) past the member cap, then compare against the
+    // BATCH operator's ground truth at a raised cap. Two properties
+    // gate here, complementing the exactness pin above (identical
+    // docs -> identical buckets -> bound == loss):
+    //  1. VALIDITY: measured loss <= C(w,2) — the bound is a true
+    //     upper bound when buckets diverge;
+    //  2. LOOSENESS on this shape: loss < bound strictly — a pair
+    //     dropped in one band can still emit from another, which is
+    //     exactly why the advisory quotes a bound, not an estimate.
+    import StreamsSpec.Doc
+    import org.apache.spark.sql.functions.col
+    val base = (0 until 30).map(i => s"blobgate tok$i common body").mkString(" ")
+    val n = 30; val cap = 8; val waves = 3
+    val docs = (1 to n).map(i =>
+      Doc(i.toLong, ts(1 + (i % waves) * 10L), s"$base tail$i"))
+    // batch ground truth at a raised cap: the full near-dup pair set
+    val d = java.nio.file.Files.createTempDirectory("stream-drop-gate").toString
+    docs.toDF().select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val truth = {
+      val saved = spark.conf.getOption("graft.minhash.maxBucket")
+      spark.conf.set("graft.minhash.maxBucket", (n + 10).toString)
+      try graft.functions.Dedup.ddMinhashLsh(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally saved match {
+        case Some(v) => spark.conf.set("graft.minhash.maxBucket", v)
+        case None => spark.conf.unset("graft.minhash.maxBucket")
+      }
+    }
+    assert(truth.size == n * (n - 1) / 2,
+      s"batch control must find the full blob: ${truth.size}")
+    val corpus = docs.toDF()
+    val dropAcc = spark.sparkContext.longAccumulator("gateDrops")
+    val worstAcc = new graft.streaming.MaxAccumulator
+    spark.sparkContext.register(worstAcc, "gateWorstBucketDrops")
+    val mem = MemoryStream[Doc](spark)
+    val out = Streams.nearDupStream(mem.toDF(), corpus, horizonMinutes = 120,
+      maxBucketMembers = cap, drops = Some(dropAcc),
+      worstBucketDrops = Some(worstAcc))
+    val q = out.writeStream.format("memory").queryName("near_dup_gate")
+      .outputMode("append").start()
+    try {
+      (0 until waves).foreach { w =>
+        mem.addData(docs.filter(_.doc_id % waves == w))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("near_dup_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missing = truth -- streamed
+      val w = worstAcc.value
+      val bound = w * (w - 1) / 2
+      assert(streamed.subsetOf(truth),
+        s"no false pairs: ${(streamed -- truth).take(5)}")
+      assert(missing.nonEmpty && dropAcc.value > 0,
+        s"precondition: the cap must bite (missing=${missing.size}, " +
+          s"drops=${dropAcc.value})")
+      assert(missing.size <= bound,
+        s"VALIDITY: loss ${missing.size} must sit within C($w,2) = $bound")
+      assert(missing.size < bound,
+        s"LOOSENESS (this shape): perturbed tails mean some dropped " +
+          s"pairs emit from other bands — loss ${missing.size} must be " +
+          s"strictly under C($w,2) = $bound")
+      // the advisory record quotes the same arithmetic
+      val adv = Streams.reportDrops(spark, dropAcc, worstAcc)
+      assert(adv.exists(a => a.measured == w && a.bound == bound),
+        adv.toString)
+    } finally q.stop()
+  }
 }
