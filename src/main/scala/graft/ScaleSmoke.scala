@@ -178,6 +178,17 @@ object ScaleSmoke {
       try Dedup.ddNgramJaccard(spark, big).count()
       finally spark.conf.unset("graft.ngram.mhPrefixSlots")
     }
+    // the disk-bounded staged mode (§8.4.3g) with tier-0 on — the
+    // escape for corpora where even the survivor pass out-spills the
+    // box (measured at 20M docs/72 GB free under zstd). Shard count
+    // bounds per-job spill at ~1/K of the single-query plan's.
+    time("dd_ngram_staged16") {
+      val shards = sys.env.getOrElse("SCALE_SMOKE_STAGE_SHARDS", "4").toInt
+      spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+      try Dedup.ddNgramJaccardStaged(spark, big,
+        stageDir = "target/scale-smoke-staged", shards = shards).count()
+      finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+    }
     // candidate count alongside wall-clock: the verify is candidate-
     // proportional, so wall growing faster than candidates would flag a
     // super-linear term hiding in the operator

@@ -172,6 +172,100 @@ object Dedup {
       mhPrefixMin = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt)
   }
 
+  /** Disk-bounded STAGED execution of [[ddNgramJaccard]] — same exact
+    * j ≥ 0.5 pair set, peak shuffle-disk bounded at ~1/shards of the
+    * single-query plan's.
+    *
+    * Why it exists (SURVEY §8.4.3g): a single-query near-dup plan holds
+    * ALL of its exchanges' shuffle files until the job ends — the
+    * df window (exchange by sh), the prefix window (exchange by
+    * doc_id), the pair self-join and the verify joins coexist on local
+    * disk. The 4000× probe (20M docs) measured that even the slim
+    * tier-0 survivor pass ENOSPCs this box's ~72 GB under zstd. On a
+    * real cluster the same arithmetic binds per NODE: shuffle disk, not
+    * CPU, is the wall.
+    *
+    * The staged mode breaks the pipeline at its three materialization
+    * points and hash-shards each stage, so (a) every Spark job's
+    * shuffle files are released before the next starts, and (b) each
+    * job sees ~1/shards of the stream:
+    *   1. `joinable` (df-filtered exploded stream) → parquet, sharded
+    *      by pmod(sh, shards) — df is per-`sh`, so the shard-local
+    *      window df is the global df;
+    *   2. `prefix` (rarest-first PPJoin prefix) → parquet, sharded by
+    *      pmod(doc_id, shards) — rk/m are per-doc;
+    *   3. per sh-shard: the pair self-join restricted to that shard's
+    *      join keys, then the SAME two-tier [[exactVerify]] (with the
+    *      session's tier-0 knobs) → parquet append. The union over
+    *      shards is the complete candidate set (sharding partitions
+    *      the join-KEY space); a pair with witness shingles in several
+    *      shards is verified more than once and emits identical rows —
+    *      the final distinct dedups. True pairs share many shingles,
+    *      but they are the tiny fraction of the stream, so the
+    *      duplicated verify volume is negligible next to the bound.
+    *
+    * The price is re-running the corpus scan + shingle pass once per
+    * stage-1/stage-3 shard (map-only, CPU-bound) — the standard
+    * disk-for-CPU trade when per-node spill is the binding constraint.
+    * `System.gc()` after each stage nudges the ContextCleaner to
+    * actually unlink the finished job's shuffle files (cleanup is
+    * weak-reference-driven; on a 48 GiB driver heap a collection may
+    * otherwise not happen between stages).
+    *
+    * Eager (runs jobs and writes under `stageDir`), unlike every other
+    * operator here — the returned frame reads the materialized result.
+    * Registered as `dd_ngram_staged` against the SAME DuckDB oracle as
+    * `dd_ngram_jaccard`: the driver gate checks the staged mode's
+    * result hash-equals the single-query plan's. */
+  def ddNgramJaccardStaged(spark: SparkSession, dir: String,
+      stageDir: String = "", shards: Int = -1, dfCap: Int = -1): DataFrame = {
+    val stage = if (stageDir.nonEmpty) stageDir
+      else spark.conf.get("graft.ngram.stageDir", "target/ngram-staged")
+    val k = if (shards > 0) shards
+      else confLong(spark, "graft.ngram.stageShards", 3L).toInt
+    val slots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt
+    val minM = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt
+    val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+    val cap = if (dfCap > 0) dfCap else capForDocs(spark, nDocs)
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagePath, true)
+    val base = ngramBase(spark, dir)
+    // schemas captured from the plans (no execution) so the staged
+    // parquet reads never depend on inference — an all-empty stage
+    // (degenerate corpus) writes only _SUCCESS, which schema-less
+    // parquet reads reject
+    val joinableSchema = ngramJoinable(ngramExploded(base), cap).schema
+    def afterStage(): Unit = System.gc()
+    (0 until k).foreach { i =>
+      ngramJoinable(
+          ngramExploded(base).where(pmod(col("sh"), lit(k)) === i), cap)
+        .write.mode("append").parquet(s"$stage/joinable")
+    }
+    afterStage()
+    val joinable = spark.read.schema(joinableSchema)
+      .parquet(s"$stage/joinable")
+    val prefixSchema = ngramPrefix(joinable).schema
+    (0 until k).foreach { i =>
+      ngramPrefix(joinable.where(pmod(col("doc_id"), lit(k)) === i))
+        .write.mode("append").parquet(s"$stage/prefix")
+    }
+    afterStage()
+    val prefix = spark.read.schema(prefixSchema).parquet(s"$stage/prefix")
+    val pairsSchema = exactVerify(ngramPairJoin(prefix), base,
+      mhPrefixSlots = slots, mhPrefixMin = minM).schema
+    (0 until k).foreach { i =>
+      exactVerify(
+          ngramPairJoin(prefix.where(pmod(col("sh"), lit(k)) === i)), base,
+          mhPrefixSlots = slots, mhPrefixMin = minM)
+        .write.mode("append").parquet(s"$stage/pairs")
+      afterStage()
+    }
+    spark.read.schema(pairsSchema).parquet(s"$stage/pairs")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
 
   /** The measured disk-wall advisories, one per tier (the full ladder
@@ -212,7 +306,10 @@ object Dedup {
         s"(mhPrefixSlots=$mhPrefixSlots): the slimmed candidate shuffle " +
         "hit the same ~78 GB/box lz4 spill wall at 10M docs (ENOSPC, " +
         "SURVEY 8.4.3f). Set spark.io.compression.codec=zstd — measured " +
-        "to complete at 10M docs with the formula-exact pair set."))
+        "to complete at 10M docs with the formula-exact pair set. Past " +
+        "that (even the survivor pass ENOSPCs under zstd at 20M docs on " +
+        "the same box, SURVEY 8.4.3g), switch to ddNgramJaccardStaged / " +
+        "dd_ngram_staged: bounded per-job spill, identical pair set."))
     else None
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
@@ -264,7 +361,15 @@ object Dedup {
       .repartition(col("doc_id"))
   }
 
-  private def ngramCandidatesFrom(base: DataFrame, cap: Int): DataFrame = {
+  private def ngramCandidatesFrom(base: DataFrame, cap: Int): DataFrame =
+    ngramPairJoin(ngramPrefix(ngramJoinable(ngramExploded(base), cap)))
+
+  /** The exploded per-shingle stream (doc_id, n, sh) — stage 0 of the
+    * candidate pipeline. Factored out (with the three stages below) so
+    * [[ddNgramJaccardStaged]] can materialize and hash-shard the exact
+    * same plan pieces; composed back in [[ngramCandidatesFrom]] they
+    * produce the identical single-query plan (PlanSpec's reuse pins). */
+  private def ngramExploded(base: DataFrame): DataFrame = {
     val docs = base.withColumn("n", size(col("shs")))
     // 64-bit shingle hashes as join keys: fixed-width keys halve the
     // shuffle vs strings (measured 2.3×); safe because of step 3.
@@ -276,9 +381,15 @@ object Dedup {
     // their single null-shingle row hashes to xxhash64's seed, can
     // only pair null-text docs with each other, and the exact verify
     // (empty arrays → null jaccard) drops any such pair.
-    val s = docs.select(col("doc_id"), col("n"),
+    docs.select(col("doc_id"), col("n"),
         explode_outer(col("shs")).as("shStr"))
       .select(col("doc_id"), col("n"), xxhash64(col("shStr")).as("sh"))
+  }
+
+  /** df-filtered stream: shingles with 2 ≤ df ≤ cap. Shards cleanly by
+    * shingle hash — every row of a given `sh` lands in the same shard,
+    * so the per-shard window df equals the global df. */
+  private def ngramJoinable(s: DataFrame, cap: Int): DataFrame =
     // df via a window over the shingle key, not a groupBy + join-back:
     // the exploded shingle stream (ShingleArray + explode + xxhash64)
     // is the expensive pass at scale, and the agg+join shape traverses
@@ -287,15 +398,28 @@ object Dedup {
     // 40× sf0.1). A df-195k hot key lands in one window partition, but
     // counting 195k rows in one task is noise next to the join it would
     // otherwise explode into — and the cap then drops it.
-    val joinable = s
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    s.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df").between(2, cap))
+
+  /** Rarest-first PPJoin prefix (sh, doc_id, n, rk, m). Shards cleanly
+    * by doc_id — rk/m are per-doc ranks over the doc's own joinable
+    * shingles, so a doc-sharded window computes the same values. */
+  private def ngramPrefix(joinable: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
-    val prefix = joinable
+    joinable
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("m", count(lit(1)).over(byDoc))
       .where(col("rk") <= col("m") - ceil(col("n") / lit(2.0)) + 1)
       .select("sh", "doc_id", "n", "rk", "m")
+  }
+
+  /** The prefix self-join → distinct candidate pairs. Shards cleanly by
+    * shingle hash: the join key is `sh`, so restricting both sides to
+    * one hash shard yields exactly the candidates whose WITNESS shingle
+    * falls in that shard — the union over shards is the full candidate
+    * set (a pair with witnesses in several shards repeats; the final
+    * distinct dedups). */
+  private def ngramPairJoin(prefix: DataFrame): DataFrame =
     // PPJoin positional filter: a common shingle at ranks (rk_a, rk_b)
     // bounds the overlap by 1 + min(remaining suffix on either side);
     // pairs whose common prefix shingles all sit too late can never
@@ -312,7 +436,6 @@ object Dedup {
           ceil((col("a.n") + col("b.n")) / lit(3.0)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** Two-tier exact verification of candidate pairs — SHARED by every
     * near-dup path (ngram prefix join, MinHash LSH, the streaming
@@ -1544,6 +1667,9 @@ object Dedup {
     "dd_decontaminate" -> ddDecontaminate _,
     "dd_exact"         -> ddExact _,
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => ddNgramJaccard(s, d)),
+    // disk-bounded staged mode, same pair set — gate-checked against
+    // the SAME oracle as dd_ngram_jaccard (§8.4.3g)
+    "dd_ngram_staged"  -> ((s: SparkSession, d: String) => ddNgramJaccardStaged(s, d)),
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cosine"  -> ddEmbedCosine _,
@@ -1561,6 +1687,23 @@ object Dedup {
     "dd_embed_cosine_bucketed" ->
       ((s: SparkSession, d: String) => ddEmbedCosine(s, d, exactMax = -1L)),
   )
+
+  private val ngramOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk)-2, 1)),
+      |    i -> array_to_string(tk[i:i+2],' '))) AS shs
+      |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+      |        FROM documents)),
+      |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+      |        any_value(a.n) AS na, any_value(b.n) AS nb
+      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(shared/(na+nb-shared), 4) AS jaccard
+      |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_decontaminate" ->
@@ -1591,22 +1734,9 @@ object Dedup {
         |            string_split_regex(trim(text),'\s+'))),' ')) AS fp
         |        FROM documents))
         |WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
-    "dd_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(tk)-2, 1)),
-        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
-        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
-        |        FROM documents)),
-        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
-        |        any_value(a.n) AS na, any_value(b.n) AS nb
-        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(shared/(na+nb-shared), 4) AS jaccard
-        |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_ngram_jaccard" -> ngramOracleSql,
+    // the staged mode must produce the identical pair set — same oracle
+    "dd_ngram_staged" -> ngramOracleSql,
     // Connected components over the exact-Jaccard pair graph: the
     // recursive CTE reaches every node from every component member, so
     // min(reached) is the component minimum.

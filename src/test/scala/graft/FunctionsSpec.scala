@@ -39,6 +39,31 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(Some(ref("x")), None))
   }
 
+  test("staged ngram execution produces the identical pair set (all tiers, shard counts)") {
+    // §8.4.3g: the disk-bounded staged mode must be semantically
+    // invisible — same rows (incl. jaccard values) as the single-query
+    // plan, with and without the tier-0 filter, at shards=1 (pure
+    // staging) and shards>1 (hash-sharded union + distinct dedup)
+    val exact = Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    for (shards <- Seq(1, 3)) {
+      val staged = Dedup.ddNgramJaccardStaged(spark, sf,
+          stageDir = s"target/test-ngram-staged-$shards", shards = shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(staged == exact,
+        s"shards=$shards: missing ${exact -- staged}, extra ${staged -- exact}")
+    }
+    spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+    try {
+      val tier0 = Dedup.ddNgramJaccardStaged(spark, sf,
+          stageDir = "target/test-ngram-staged-t0", shards = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(tier0 == exact,
+        s"tier-0 staged: missing ${exact -- tier0}, extra ${tier0 -- exact}")
+    } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+  }
+
   test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {
     val exact = Dedup.ddNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -225,7 +225,11 @@ class KnobsSpec extends AnyFunSuite {
         m.message.contains("zstd") && m.message.contains("8.4.3f")),
       s"tier-0 advisory must name the zstd escape and the ladder: $warn")
     assert(warn.exists(_.knob == "spark.io.compression.codec"),
-      "tier-0's record must name the only remaining escape knob")
+      "tier-0's record must name the next escape knob")
+    // round 18: past zstd's own wall (§8.4.3g, 20M docs) the advisory
+    // names the staged mode — the last rung of the measured ladder
+    assert(warn.exists(_.message.contains("dd_ngram_staged")),
+      s"tier-0 advisory must name the staged escape: $warn")
     assert(Dedup.ngramShuffleWarning(7999999L, 16, 4000000L, 8000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000L, 16, 4000000L, 8000000L).isEmpty)
     // slots = 0 above BOTH thresholds still reports the exact-path wall
