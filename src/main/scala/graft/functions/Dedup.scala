@@ -236,7 +236,13 @@ object Dedup {
     // (degenerate corpus) writes only _SUCCESS, which schema-less
     // parquet reads reject
     val joinableSchema = ngramJoinable(ngramExploded(base), cap).schema
-    def afterStage(): Unit = System.gc()
+    // the gc nudge exists to make the ContextCleaner release the
+    // finished stage's shuffle files while DISK is the constraint; on a
+    // small corpus (gates, tests, benches) the whole single-plan spill
+    // is under a GB and a forced full collection is pure wall-clock —
+    // 2.2 s of the 5.25 s sf0.001 invocation, measured min-of-5
+    val gcMinDocs = confLong(spark, "graft.ngram.stageGcMinDocs", 1000000L)
+    def afterStage(): Unit = if (nDocs >= gcMinDocs) System.gc()
     (0 until k).foreach { i =>
       ngramJoinable(
           ngramExploded(base).where(pmod(col("sh"), lit(k)) === i), cap)
