@@ -214,6 +214,10 @@ object Dedup {
     *
     * Eager (runs jobs and writes under `stageDir`), unlike every other
     * operator here — the returned frame reads the materialized result.
+    * The invocation OWNS `stageDir` (deleted at entry, rewritten):
+    * concurrent invocations must pass distinct dirs — the default
+    * (`graft.ngram.stageDir`) is safe only for sequential use, which
+    * is what every registered-gate path does.
     * Registered as `dd_ngram_staged` against the SAME DuckDB oracle as
     * `dd_ngram_jaccard`: the driver gate checks the staged mode's
     * result hash-equals the single-query plan's. */
