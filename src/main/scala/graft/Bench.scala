@@ -206,6 +206,15 @@ object Bench {
     val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.flatten.sum
+    // round-comparable subtotal (r18 verdict #5): dd_ngram_staged (new
+    // in r18) carries by-design eager staging work, so the headline
+    // total stopped matching the pre-r18 boards. total_shared sums the
+    // 56-query r17 set — round-over-round drift adjudication is a
+    // field read, not a recompute. Extend the exclusion set if a
+    // future round registers further by-design-heavier queries.
+    val sharedExclude = Set("dd_ngram_staged")
+    val totalShared = results.collect {
+      case (k, Some(v)) if !sharedExclude(k) => v }.sum
     val totals = passes.map(p => p._2.values.flatten.sum).mkString("[", ",", "]")
     val sents = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     val calibJson = {
@@ -218,7 +227,7 @@ object Bench {
       val f7 = suppFailed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7,"failed":$f7}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_shared":$totalShared,"shared_excludes":["dd_ngram_staged"],"queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,29 +66,74 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** The machine-actionable retry instruction an [[Advisory]] carries
+  * (round 19, closing the r18 lead finding that the escape-family
+  * advisories overloaded the cap-family's fields and kept their real
+  * action in prose). A consumer dispatches on THIS field alone — no
+  * `op`-specific branching, no prose parsing (pinned in KnobsSpec's
+  * generic-dispatch test, which routes RaiseKnob, SetConf and
+  * SwitchOperator records through one match). */
+sealed trait AdvisoryAction
+object AdvisoryAction {
+  /** Re-run with the session conf (or operator parameter) named by
+    * `knob` raised: to at least `measured` when `measured >= 0` —
+    * `target` then carries the same value rendered as a string — or,
+    * when `measured == -1` and `target` is empty, past a value the
+    * firing site could not observe (e.g. the AQE-pruned-observation
+    * corner: raise past the largest expected duplicate-blob size). */
+  case object RaiseKnob extends AdvisoryAction
+  /** Re-run with the conf key named by `knob` SET to the literal
+    * value in `target` (e.g. `spark.io.compression.codec` → "zstd").
+    * Static Spark confs among these must be set at session build. */
+  case object SetConf extends AdvisoryAction
+  /** Re-run through a DIFFERENT registered operator: `target` names
+    * the [[Graft.queries]] key to switch to (e.g. the ngram ladder's
+    * last rung, "dd_ngram_staged"). `knob` is empty — there is
+    * nothing to tune, the plan shape itself is the escape. */
+  case object SwitchOperator extends AdvisoryAction
+  /** Informational record — no retry action is implied (route
+    * announcements, the staged mode's per-stage audit records). Any
+    * escape named in the prose is a deliberate operator choice, not
+    * an instruction (e.g. the bucketed-route advisory's "raise
+    * exactMax knowingly" buys N²/2 work). */
+  case object Observe extends AdvisoryAction
+}
+
 /** One fired runtime advisory as a MACHINE-ACTIONABLE record (round
   * 18, closing the r17 lead finding that the ledger carried prose
-  * only): the canonical consumer — an orchestrator retrying a capped
-  * run with a raised knob — reads `knob` and `measured` off the record
-  * and re-runs with `knob >= measured`, no regex over `message`
-  * (pinned end-to-end in KnobsSpec's retry-loop test).
+  * only; round 19 added the `action` discriminator + `target` so the
+  * escape family is as dispatchable as the cap family): the canonical
+  * consumer — an orchestrator retrying a capped run — dispatches on
+  * `action` and reads `knob`/`measured`/`target` off the record, no
+  * regex over `message` (pinned end-to-end in KnobsSpec's retry-loop
+  * and generic-dispatch tests).
   *
   *  - `op`: the operator that fired (e.g. "dd_minhash_lsh")
   *  - `knob`: the session conf key — or, for the streaming cap, the
-  *    operator parameter name — to act on
+  *    operator parameter name — to act on (empty for SwitchOperator
+  *    and for Observe records with no knob to name)
   *  - `cap`: the active cap/threshold the run used (-1 when the firing
-  *    site doesn't know it, e.g. [[graft.streaming.Streams.reportDrops]])
+  *    site doesn't know it, e.g. [[graft.streaming.Streams.reportDrops]];
+  *    for the staged per-stage Observe records, the shard count)
   *  - `measured`: the measured quantity that crossed the cap — for the
   *    cap-style advisories this is also the value a retry should raise
   *    `knob` to at least; -1 when the measurement itself was pruned
   *    (the AQE 100%-loss corner: nothing measured survives, retry by
-  *    raising `knob` past the largest expected duplicate-blob size)
+  *    raising `knob` past the largest expected duplicate-blob size);
+  *    for the staged per-stage Observe records, the stage's row count
   *  - `bound`: worst-case pair-loss bound implied by the crossing
-  *    (-1 when the advisory carries no pair arithmetic)
+  *    (-1 when the advisory carries no pair arithmetic; for the staged
+  *    per-stage Observe records, the stage's bytes written)
   *  - `message`: the rendered prose ([[Graft.advisories]] returns
-  *    exactly these, so the human channel is unchanged) */
+  *    exactly these, so the human channel is unchanged)
+  *  - `action`: the [[AdvisoryAction]] a generic consumer dispatches on
+  *  - `target`: the action's operand — the conf value to set
+  *    (SetConf), the operator name to switch to (SwitchOperator), the
+  *    rendered raise-to value (RaiseKnob, empty when unknown), or the
+  *    stage wall-clock in integral milliseconds (the staged mode's
+  *    Observe records; empty for other Observe records) */
 case class Advisory(op: String, knob: String, cap: Long, measured: Long,
-    bound: Long, message: String)
+    bound: Long, message: String, action: AdvisoryAction, target: String)
 
 /** Library facade — everything a user of the engine touches:
   * `Graft.session()` for a configured SparkSession, `registerTables`

@@ -67,12 +67,19 @@ object Tables {
     * read, no data scan. Used where a plan needs a corpus-size constant
     * (e.g. the IVF centroid step): at 100 TB a `count()` is a full pass
     * over the table; the footers already hold the answer. */
-  def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long =
+    footerRowCountAtPath(spark, s"$dir/$name.parquet")
+
+  /** [[footerRowCount]] for a raw parquet path (a part-file directory
+    * or a single file) — shared by the table form above and the staged
+    * mode's per-stage audit records. */
+  private[graft] def footerRowCountAtPath(spark: SparkSession,
+      path: String): Long = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(s"$dir/$name.parquet")
+    val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(root).isDirectory)

@@ -164,7 +164,8 @@ object Dedup {
     val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
     ngramShuffleWarning(nDocs, slots,
         confLong(spark, "graft.ngram.warnDocs", 4000000L),
-        confLong(spark, "graft.ngram.tier0WarnDocs", 8000000L))
+        confLong(spark, "graft.ngram.tier0WarnDocs", 8000000L),
+        confLong(spark, "graft.ngram.stagedWarnDocs", 16000000L))
       .foreach(graft.Graft.advise(spark, _, log))
     exactVerify(ngramCandidatesFrom(base,
         if (dfCap > 0) dfCap else capForDocs(spark, nDocs)), base,
@@ -207,33 +208,93 @@ object Dedup {
     * The price is re-running the corpus scan + shingle pass once per
     * stage-1/stage-3 shard (map-only, CPU-bound) — the standard
     * disk-for-CPU trade when per-node spill is the binding constraint.
-    * `System.gc()` after each stage nudges the ContextCleaner to
-    * actually unlink the finished job's shuffle files (cleanup is
-    * weak-reference-driven; on a 48 GiB driver heap a collection may
-    * otherwise not happen between stages).
+    * `System.gc()` after each SHARD job (round 19, r18 ADVICE: after
+    * each stage only, stages 1-2 accumulated their k jobs' files)
+    * nudges the ContextCleaner to actually unlink the finished job's
+    * shuffle files (cleanup is weak-reference-driven; on a 48 GiB
+    * driver heap a collection may otherwise not happen between jobs) —
+    * so the per-job spill bound ~1/shards holds in EVERY stage.
+    *
+    * Shard count: an explicit `shards` argument wins, then an explicit
+    * `graft.ngram.stageShards` conf, then the CORPUS-AWARE default
+    * (round 19): ceil([[ngramSinglePlanSpillBytes]] / the per-node
+    * spill budget `graft.ngram.stageSpillBudgetBytes`, default 18 GB —
+    * the value that reproduces the measured 20M-doc receipt's k = 4
+    * with ~2× headroom under this box's 72 GB). Tiny corpora auto-size
+    * to k = 1 (pure staging, no sharding overhead).
     *
     * Eager (runs jobs and writes under `stageDir`), unlike every other
     * operator here — the returned frame reads the materialized result.
-    * The invocation OWNS `stageDir` (deleted at entry, rewritten):
-    * concurrent invocations must pass distinct dirs — the default
-    * (`graft.ngram.stageDir`) is safe only for sequential use, which
-    * is what every registered-gate path does.
+    * The invocation OWNS `stageDir` (deleted at entry, rewritten, and
+    * stamped with a `_graft_stage` marker; a non-empty dir WITHOUT the
+    * marker is refused, not destroyed — a mistyped stageDir pointing
+    * at data must not be deleted). Consequences: concurrent
+    * invocations must pass distinct dirs, and a returned frame is only
+    * valid until the NEXT invocation on the same stageDir (that
+    * invocation deletes the files under the earlier handle — callers
+    * needing persistence must write the result elsewhere first). The
+    * default (`graft.ngram.stageDir`) is safe only for sequential use,
+    * which is what every registered-gate path does. On a cluster whose
+    * corpus lives on a different filesystem (hdfs/s3a) the
+    * driver-relative default stages through the LOCAL filesystem — a
+    * typed SetConf advisory fires naming the mismatch (round 19).
+    * After the pairs write lands, `joinable/` and `prefix/` are
+    * deleted eagerly (only `pairs/` backs the returned frame) — the
+    * mode exists because disk is the binding constraint, so ~2/3 of
+    * the staged footprint must not outlive its use. Each stage appends
+    * one typed Observe record (shards, rows, bytes, wall) to the
+    * session ledger via [[graft.Graft.advise]], so a staged run is
+    * auditable like everything else despite `.explain` on the returned
+    * frame showing only the final read.
     * Registered as `dd_ngram_staged` against the SAME DuckDB oracle as
     * `dd_ngram_jaccard`: the driver gate checks the staged mode's
     * result hash-equals the single-query plan's. */
   def ddNgramJaccardStaged(spark: SparkSession, dir: String,
       stageDir: String = "", shards: Int = -1, dfCap: Int = -1): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val stage = if (stageDir.nonEmpty) stageDir
       else spark.conf.get("graft.ngram.stageDir", "target/ngram-staged")
-    val k = if (shards > 0) shards
-      else confLong(spark, "graft.ngram.stageShards", 3L).toInt
     val slots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt
     val minM = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt
     val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+    val k = if (shards > 0) shards
+      else spark.conf.getOption("graft.ngram.stageShards") match {
+        case Some(v) => v.trim.toInt
+        case None => ngramStageShards(
+          ngramSinglePlanSpillBytes(nDocs, tier0 = slots > 0,
+            zstd = spark.conf.get("spark.io.compression.codec", "lz4")
+              .toLowerCase.contains("zstd")),
+          confLong(spark, "graft.ngram.stageSpillBudgetBytes",
+            18000000000L))
+      }
     val cap = if (dfCap > 0) dfCap else capForDocs(spark, nDocs)
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
-    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(stagePath, true)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new Path(stage)
+    val fs = stagePath.getFileSystem(hadoopConf)
+    val corpusPath = new Path(dir)
+    stageFsMismatchAdvisory(
+        corpusPath.getFileSystem(hadoopConf).makeQualified(corpusPath).toUri,
+        fs.makeQualified(stagePath).toUri)
+      .foreach(graft.Graft.advise(spark, _, log))
+    val marker = new Path(stagePath, "_graft_stage")
+    if (fs.exists(stagePath)) {
+      // staged-owned = marked by a prior r19+ run, or shaped exactly
+      // like one (pre-marker runs left only the three stage subdirs) —
+      // anything else is refused, not destroyed
+      val entries = fs.listStatus(stagePath).map(_.getPath.getName)
+      val owned = fs.exists(marker) ||
+        entries.forall(Set("joinable", "prefix", "pairs", "_graft_stage"))
+      if (entries.nonEmpty && !owned)
+        throw new IllegalArgumentException(
+          s"refusing to clear stage dir '$stage': it is non-empty and " +
+          "carries no _graft_stage marker from a prior staged run — a " +
+          "mistyped stageDir / graft.ngram.stageDir pointing at a data " +
+          "directory must not be silently destroyed. Pass an empty or " +
+          "staged-owned directory.")
+      fs.delete(stagePath, true)
+    }
+    fs.mkdirs(stagePath)
+    fs.create(marker).close()
     val base = ngramBase(spark, dir)
     // schemas captured from the plans (no execution) so the staged
     // parquet reads never depend on inference — an all-empty stage
@@ -241,39 +302,121 @@ object Dedup {
     // parquet reads reject
     val joinableSchema = ngramJoinable(ngramExploded(base), cap).schema
     // the gc nudge exists to make the ContextCleaner release the
-    // finished stage's shuffle files while DISK is the constraint; on a
+    // finished job's shuffle files while DISK is the constraint; on a
     // small corpus (gates, tests, benches) the whole single-plan spill
     // is under a GB and a forced full collection is pure wall-clock —
     // 2.2 s of the 5.25 s sf0.001 invocation, measured min-of-5
     val gcMinDocs = confLong(spark, "graft.ngram.stageGcMinDocs", 1000000L)
-    def afterStage(): Unit = if (nDocs >= gcMinDocs) System.gc()
-    (0 until k).foreach { i =>
+    def afterJob(): Unit = if (nDocs >= gcMinDocs) System.gc()
+    // one typed Observe record per stage: the staged run's audit trail
+    // (the returned frame's .explain shows only the final read, so the
+    // ledger is where a 100 TB operator reads what the stages did)
+    def stageRecord(name: String, wallMs: Long): Unit = {
+      val p = new Path(stagePath, name)
+      val rows = graft.Tables.footerRowCountAtPath(spark, p.toString)
+      val bytes = fs.getContentSummary(p).getLength
+      graft.Graft.advise(spark, graft.Advisory("dd_ngram_staged",
+        knob = s"stage:$name", cap = k, measured = rows, bound = bytes,
+        s"dd_ngram_staged stage '$name': $rows rows, $bytes bytes " +
+        s"written in $wallMs ms across $k shard job(s) under '$stage'.",
+        action = graft.AdvisoryAction.Observe,
+        target = wallMs.toString), log)
+    }
+    def timed(body: => Unit): Long = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1000000L
+    }
+    val w1 = timed((0 until k).foreach { i =>
       ngramJoinable(
           ngramExploded(base).where(pmod(col("sh"), lit(k)) === i), cap)
         .write.mode("append").parquet(s"$stage/joinable")
-    }
-    afterStage()
+      afterJob()
+    })
+    stageRecord("joinable", w1)
     val joinable = spark.read.schema(joinableSchema)
       .parquet(s"$stage/joinable")
     val prefixSchema = ngramPrefix(joinable).schema
-    (0 until k).foreach { i =>
+    val w2 = timed((0 until k).foreach { i =>
       ngramPrefix(joinable.where(pmod(col("doc_id"), lit(k)) === i))
         .write.mode("append").parquet(s"$stage/prefix")
-    }
-    afterStage()
+      afterJob()
+    })
+    stageRecord("prefix", w2)
     val prefix = spark.read.schema(prefixSchema).parquet(s"$stage/prefix")
     val pairsSchema = exactVerify(ngramPairJoin(prefix), base,
       mhPrefixSlots = slots, mhPrefixMin = minM).schema
-    (0 until k).foreach { i =>
+    val w3 = timed((0 until k).foreach { i =>
       exactVerify(
           ngramPairJoin(prefix.where(pmod(col("sh"), lit(k)) === i)), base,
           mhPrefixSlots = slots, mhPrefixMin = minM)
         .write.mode("append").parquet(s"$stage/pairs")
-      afterStage()
-    }
+      afterJob()
+    })
+    stageRecord("pairs", w3)
+    // only pairs/ backs the returned frame — drop the other two stages'
+    // footprint NOW, not at the next invocation (r18 verdict #3)
+    fs.delete(new Path(stagePath, "joinable"), true)
+    fs.delete(new Path(stagePath, "prefix"), true)
     spark.read.schema(pairsSchema).parquet(s"$stage/pairs")
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Predicted single-query-plan shuffle spill for the ngram near-dup
+    * operator — PURE, calibrated on the measured §8.4.3e-g ENOSPC
+    * ladder (per-doc spill at each wall; survivors, and with them
+    * spill, are measured exactly linear in the corpus):
+    * exact+lz4 78 GB/5M docs = 15.6 KB/doc, tier-0+lz4 78 GB/10M =
+    * 7.8 KB/doc, tier-0+zstd 72 GB/20M = 3.6 KB/doc, exact+zstd ~2/3
+    * of exact+lz4 (§8.4.3f's measured "~1/3 less under zstd"). */
+  private[graft] def ngramSinglePlanSpillBytes(nDocs: Long,
+      tier0: Boolean, zstd: Boolean): Long = {
+    val perDoc = (tier0, zstd) match {
+      case (false, false) => 15600L
+      case (false, true)  => 10400L
+      case (true,  false) => 7800L
+      case (true,  true)  => 3600L
+    }
+    nDocs * perDoc
+  }
+
+  /** Corpus-aware staged shard count (round 19, the mode's last
+    * un-sized knob): per-job spill is ~1/shards of the single plan's,
+    * so k = ceil(predicted spill / per-node budget) bounds each job
+    * under the budget; 1 for anything that fits outright. PURE —
+    * pinned in KnobsSpec at the three measured ladder points. */
+  private[graft] def ngramStageShards(spillBytes: Long,
+      budgetBytes: Long): Int = {
+    require(budgetBytes > 0, s"spill budget must be positive: $budgetBytes")
+    math.max(1L, math.ceil(spillBytes.toDouble / budgetBytes).toLong).toInt
+  }
+
+  /** Stage-filesystem hygiene advisory (round 19, r18 verdict #4) —
+    * PURE over the two qualified URIs: fires when the staged mode's
+    * stage dir resolves to a DIFFERENT filesystem than the corpus
+    * (scheme or authority differ). The default stageDir is
+    * driver-relative; against an hdfs/s3a corpus that silently routes
+    * every staged byte through the driver's local disk. SetConf:
+    * point `graft.ngram.stageDir` at any writable path on the corpus
+    * filesystem (the target suggests a corpus-adjacent one). */
+  private[graft] def stageFsMismatchAdvisory(corpusUri: java.net.URI,
+      stageUri: java.net.URI): Option[graft.Advisory] = {
+    def fsId(u: java.net.URI): String =
+      Option(u.getScheme).getOrElse("file") +
+        "://" + Option(u.getAuthority).getOrElse("")
+    val (c, s) = (fsId(corpusUri), fsId(stageUri))
+    if (c != s)
+      Some(graft.Advisory("dd_ngram_staged", "graft.ngram.stageDir",
+        cap = -1L, measured = -1L, bound = -1L,
+        s"dd_ngram_staged stages through '$s' while the corpus lives " +
+        s"on '$c': every staged byte (3 stage materializations) routes " +
+        "through the stage filesystem — for a driver-relative default " +
+        "against an hdfs/s3a corpus that means the driver's LOCAL disk, " +
+        "not the cluster's. Set graft.ngram.stageDir to a writable " +
+        "path on the corpus filesystem.",
+        action = graft.AdvisoryAction.SetConf,
+        target = corpusUri.toString.stripSuffix("/") + "/_ngram_staged"))
+    else None
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
@@ -291,15 +434,24 @@ object Dedup {
     *    through 10M docs) or zstd.
     *  - `mhPrefixSlots > 0` above `tier0WarnDocs` (default 8M, just
     *    under the measured 10M wall): tier-0 itself hits the same box's
-    *    disk at 2× the corpus; the only remaining escape is zstd
+    *    disk at 2× the corpus; the remaining escape is zstd
     *    (measured: 560.5 s at 10M docs, formula-exact pair count).
+    *  - `mhPrefixSlots > 0` above `stagedWarnDocs` (default 16M, just
+    *    under the measured 20M wall): past zstd's own wall even the
+    *    slim survivor pass out-spills the box — the single-query plan
+    *    shape itself is the problem (all exchanges' shuffle files
+    *    coexist until job end), so the record's action is
+    *    SwitchOperator to `dd_ngram_staged`, the ladder's last rung.
     *
     * Advisory only — the operator's output is unaffected. The record's
-    * `measured` is the corpus size and `cap` the warn threshold — here
-    * the retry action is the named ESCAPE (tier-0 / zstd), not
-    * "raise knob to measured". */
+    * `measured` is the corpus size and `cap` the warn threshold; the
+    * retry action rides the `action`/`target` fields (round 19): each
+    * rung is a SetConf of the next measured escape, except the last,
+    * which is a SwitchOperator — dispatchable with zero prose parsing
+    * (pinned in KnobsSpec's generic-dispatch test). */
   private[graft] def ngramShuffleWarning(nDocs: Long, mhPrefixSlots: Int,
-      warnDocs: Long, tier0WarnDocs: Long = 8000000L): Option[graft.Advisory] =
+      warnDocs: Long, tier0WarnDocs: Long = 8000000L,
+      stagedWarnDocs: Long = 16000000L): Option[graft.Advisory] =
     if (mhPrefixSlots == 0 && nDocs >= warnDocs)
       Some(graft.Advisory("dd_ngram_jaccard", "graft.ngram.mhPrefixSlots",
         cap = warnDocs, measured = nDocs, bound = -1L,
@@ -308,7 +460,21 @@ object Dedup {
         "78 GB/box of lz4 spill (ENOSPC, SURVEY 8.4.3e). Consider " +
         "graft.ngram.mhPrefixSlots=16 (79% shuffle discard, zero " +
         "measured pair loss through 10M docs) or " +
-        "spark.io.compression.codec=zstd."))
+        "spark.io.compression.codec=zstd.",
+        action = graft.AdvisoryAction.SetConf, target = "16"))
+    else if (mhPrefixSlots > 0 && nDocs >= stagedWarnDocs)
+      Some(graft.Advisory("dd_ngram_jaccard", knob = "",
+        cap = stagedWarnDocs, measured = nDocs, bound = -1L,
+        s"dd_ngram_jaccard over $nDocs documents with tier-0 " +
+        s"(mhPrefixSlots=$mhPrefixSlots): past zstd's own measured wall " +
+        "(even the slim survivor pass ENOSPCs under zstd at 20M docs on " +
+        "a 72 GB-spill box, SURVEY 8.4.3g) no codec or filter rung " +
+        "remains — the single-query plan holds every exchange's shuffle " +
+        "files until job end. Switch to ddNgramJaccardStaged / " +
+        "dd_ngram_staged: per-job spill bounded at ~1/shards, identical " +
+        "pair set (oracle-gated).",
+        action = graft.AdvisoryAction.SwitchOperator,
+        target = "dd_ngram_staged"))
     else if (mhPrefixSlots > 0 && nDocs >= tier0WarnDocs)
       Some(graft.Advisory("dd_ngram_jaccard", "spark.io.compression.codec",
         cap = tier0WarnDocs, measured = nDocs, bound = -1L,
@@ -319,7 +485,8 @@ object Dedup {
         "to complete at 10M docs with the formula-exact pair set. Past " +
         "that (even the survivor pass ENOSPCs under zstd at 20M docs on " +
         "the same box, SURVEY 8.4.3g), switch to ddNgramJaccardStaged / " +
-        "dd_ngram_staged: bounded per-job spill, identical pair set."))
+        "dd_ngram_staged: bounded per-job spill, identical pair set.",
+        action = graft.AdvisoryAction.SetConf, target = "zstd"))
     else None
 
   private[graft] def resolveCap(spark: SparkSession, dir: String, dfCap: Int): Int =
@@ -1100,7 +1267,12 @@ object Dedup {
         "down to ~3%/2.7% for +15%/+31% wall); probeMargin=0 reverts " +
         "to single-cell assignment (~2-4% miss at cos>=0.9995). For " +
         "exhaustive pair mining raise graft.embedCosine.exactMax " +
-        "knowingly (N^2/2 dot products)."))
+        "knowingly (N^2/2 dot products).",
+        // Observe, not RaiseKnob: the bucketed route is the operator
+        // WORKING as designed at this N — auto-raising exactMax to
+        // `measured` would re-run N^2/2 dot products unknowingly, the
+        // opposite of what the "knowingly" in the prose demands
+        action = graft.AdvisoryAction.Observe, target = ""))
     else None
 
   /** CORPUS-AWARE mega-cell cap default (round 14; measured, SURVEY
@@ -1169,7 +1341,8 @@ object Dedup {
         "~24% at ~1.0x (~145M). Raise " +
         "graft.embedCosine.maxCell knowingly (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
-        "measured loss."))
+        "measured loss.",
+        action = graft.AdvisoryAction.RaiseKnob, target = target.toString))
     else None
   }
 
@@ -1266,7 +1439,9 @@ object Dedup {
         "NOT collapse — crosses in ALL its bands and its pairs are " +
         "silently lost. Collapse blobs first (dd_exact, then near-dup " +
         s"on the residue), or set graft.minhash.maxBucket >= $maxBucket " +
-        "knowingly (per-bucket candidate budget ~m^2/2 instances)."))
+        "knowingly (per-bucket candidate budget ~m^2/2 instances).",
+        action = graft.AdvisoryAction.RaiseKnob,
+        target = maxBucket.toString))
     else None
 
   /** The measured-cell advisory text: fires iff the largest measured
@@ -1296,7 +1471,8 @@ object Dedup {
         "not the 4*sqrt(N) sizing — set graft.embedCosine.maxCell >= " +
         s"$maxCell to score this cell unsplit (per-task pair budget " +
         "~maxCell^2/2 scorings, ~1M scorings/s/task) or accept the " +
-        "split."))
+        "split.",
+        action = graft.AdvisoryAction.RaiseKnob, target = maxCell.toString))
     } else None
 
   private val capAdvisorySessions =
@@ -1352,7 +1528,11 @@ object Dedup {
       "degenerate corpus, e.g. one near-verbatim blob larger than the " +
       "cap, hits exactly this). Collapse blobs first (dd_exact, then " +
       s"near-dup on the residue) or re-run with $knob raised past the " +
-      "largest duplicate-blob size.")
+      "largest duplicate-blob size.",
+      // RaiseKnob with an EMPTY target: the sufficient value was never
+      // observed (the observation itself was pruned) — the documented
+      // "raise past the largest expected blob" semantic
+      action = graft.AdvisoryAction.RaiseKnob, target = "")
   }
 
   /** Register (once per session) the QueryExecutionListener that turns

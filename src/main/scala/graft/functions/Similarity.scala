@@ -152,7 +152,9 @@ object Similarity {
         "stream (measured ~67 GB/task at 20M vectors in local mode — " +
         "docs/SIZING.md). Raise the threshold above the groups/task " +
         "estimate (TopKAgg buffers are tens of bytes per group) to " +
-        "keep the partial aggregate hash-resident."))
+        "keep the partial aggregate hash-resident.",
+        action = graft.AdvisoryAction.RaiseKnob,
+        target = groupsPerTask.toString))
     else None
   }
 

@@ -466,7 +466,11 @@ object Streams {
         "are one near-verbatim blob inside one horizon; ~0 if they are " +
         "scattered stragglers). Collapse exact duplicates upstream " +
         "(dedupStream first) or raise maxBucketMembers past the largest " +
-        "duplicate-blob size."))
+        "duplicate-blob size.",
+        // RaiseKnob on an OPERATOR PARAMETER (knob is nearDupStream's
+        // argument, not a conf key); target empty — the drop counter
+        // does not observe the blob size a sufficient cap must exceed
+        action = graft.AdvisoryAction.RaiseKnob, target = ""))
     } else None
 
   /** Read the two drop accumulators and fire [[nearDupDropAdvisory]]

@@ -42,26 +42,54 @@ class FunctionsSpec extends AnyFunSuite {
   test("staged ngram execution produces the identical pair set (all tiers, shard counts)") {
     // §8.4.3g: the disk-bounded staged mode must be semantically
     // invisible — same rows (incl. jaccard values) as the single-query
-    // plan, with and without the tier-0 filter, at shards=1 (pure
-    // staging) and shards>1 (hash-sharded union + distinct dedup)
+    // plan — across the FULL claimed matrix (r18 ADVICE): shards ∈
+    // {1, 2, 3} (pure staging and hash-sharded union + distinct
+    // dedup), each with and without the tier-0 filter
     val exact = Dedup.ddNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
-    for (shards <- Seq(1, 3)) {
-      val staged = Dedup.ddNgramJaccardStaged(spark, sf,
-          stageDir = s"target/test-ngram-staged-$shards", shards = shards)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(staged == exact,
-        s"shards=$shards: missing ${exact -- staged}, extra ${staged -- exact}")
+    for (tier0 <- Seq(false, true); shards <- Seq(1, 2, 3)) {
+      if (tier0) spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+      try {
+        val dir = s"target/test-ngram-staged-$shards-t$tier0"
+        val staged = Dedup.ddNgramJaccardStaged(spark, sf,
+            stageDir = dir, shards = shards)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(staged == exact, s"shards=$shards tier0=$tier0: " +
+          s"missing ${exact -- staged}, extra ${staged -- exact}")
+      } finally if (tier0) spark.conf.unset("graft.ngram.mhPrefixSlots")
     }
-    spark.conf.set("graft.ngram.mhPrefixSlots", "16")
-    try {
-      val tier0 = Dedup.ddNgramJaccardStaged(spark, sf,
-          stageDir = "target/test-ngram-staged-t0", shards = 2)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(tier0 == exact,
-        s"tier-0 staged: missing ${exact -- tier0}, extra ${tier0 -- exact}")
-    } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+  }
+
+  test("staged ngram cleans up eagerly, marks its dir, and refuses foreign dirs") {
+    import org.apache.hadoop.fs.Path
+    val stage = "target/test-ngram-staged-hygiene"
+    val fs = new Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frame = Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
+      shards = 2)
+    assert(frame.count() > 0)
+    // r18 verdict #3: only pairs/ (+ the ownership marker) survives the
+    // invocation — joinable/ and prefix/ are ~2/3 of the staged
+    // footprint and the mode exists BECAUSE disk is the constraint
+    val entries = fs.listStatus(new Path(stage)).map(_.getPath.getName).toSet
+    assert(entries == Set("pairs", "_graft_stage"),
+      s"only pairs/ and the marker may outlive the invocation: $entries")
+    // a later invocation on the marked dir is allowed to reclaim it
+    assert(Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
+      shards = 1).count() > 0)
+    // a non-empty UNMARKED dir is refused, not destroyed (r18 ADVICE:
+    // a mistyped stageDir pointing at data must survive the mistake)
+    val foreign = "target/test-ngram-staged-foreign"
+    fs.delete(new Path(foreign), true)
+    fs.mkdirs(new Path(foreign))
+    fs.create(new Path(foreign, "precious.parquet")).close()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ddNgramJaccardStaged(spark, sf, stageDir = foreign, shards = 1)
+    }
+    assert(e.getMessage.contains("refusing to clear"), e.getMessage)
+    assert(fs.exists(new Path(foreign, "precious.parquet")),
+      "the foreign dir's contents must be untouched")
   }
 
   test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {

@@ -230,6 +230,26 @@ class KnobsSpec extends AnyFunSuite {
     // names the staged mode — the last rung of the measured ladder
     assert(warn.exists(_.message.contains("dd_ngram_staged")),
       s"tier-0 advisory must name the staged escape: $warn")
+    // round 19: each rung's retry action rides typed fields — the zstd
+    // rung is a SetConf with the literal codec value…
+    assert(warn.exists(a => a.action == AdvisoryAction.SetConf &&
+        a.target == "zstd"), warn.toString)
+    // …and at/above stagedWarnDocs (default 16M, under the measured
+    // 20M zstd wall) the rung is a SwitchOperator naming the registry
+    // key — no knob: the plan SHAPE is the problem, nothing tunes it
+    val staged = Dedup.ngramShuffleWarning(20000000L, 16, 4000000L,
+      8000000L, 16000000L)
+    assert(staged.exists(a =>
+        a.action == AdvisoryAction.SwitchOperator &&
+        a.target == "dd_ngram_staged" && a.knob.isEmpty &&
+        a.cap == 16000000L && a.measured == 20000000L), staged.toString)
+    assert(Dedup.ngramShuffleWarning(15999999L, 16, 4000000L, 8000000L)
+      .exists(_.action == AdvisoryAction.SetConf),
+      "below the staged threshold the zstd rung must keep firing")
+    // the exact rung's action: SetConf of the tier-0 escape
+    assert(Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
+      .exists(a => a.action == AdvisoryAction.SetConf &&
+        a.knob == "graft.ngram.mhPrefixSlots" && a.target == "16"))
     assert(Dedup.ngramShuffleWarning(7999999L, 16, 4000000L, 8000000L).isEmpty)
     assert(Dedup.ngramShuffleWarning(5000L, 16, 4000000L, 8000000L).isEmpty)
     // slots = 0 above BOTH thresholds still reports the exact-path wall
@@ -998,6 +1018,145 @@ class KnobsSpec extends AnyFunSuite {
     assert(recovered == fullPairs,
       s"retry at knob=${adv.knob} -> ${adv.measured} must recover the " +
         s"full pair set: $recovered vs $fullPairs")
+  }
+
+  test("one generic dispatch handles RaiseKnob, SetConf and SwitchOperator records") {
+    // the round-19 contract (r18 verdict lead item): a consumer routes
+    // EVERY advisory family through one match on `action`, reading
+    // only knob/measured/target — no op-specific branching, no prose.
+    // ---- the generic dispatcher: this match IS the contract ----
+    def dispatch(a: graft.Advisory, self: () => Long): Long = a.action match {
+      case AdvisoryAction.RaiseKnob =>
+        withConf(a.knob -> a.measured.toString)(self())
+      case AdvisoryAction.SetConf =>
+        withConf(a.knob -> a.target)(self())
+      case AdvisoryAction.SwitchOperator =>
+        Graft.queries(a.target)(spark, sf).count()
+      case AdvisoryAction.Observe => self()
+    }
+    // ---- end dispatcher ----
+    // RaiseKnob, END-TO-END: a capped blob run fires the measured
+    // bucket advisory; dispatching it recovers the full pair set
+    import spark.implicits._
+    val blob = "the quick brown fox jumps over the lazy dog by the mill"
+    val docs = (0 until 12).map(i => (i.toLong, s"$blob tail$i")) ++
+      Seq((900L, "alpha beta gamma delta epsilon zeta eta endings"),
+        (901L, "alpha beta gamma delta epsilon zeta eta closings"))
+    val d = java.nio.file.Files.createTempDirectory("knob-dispatch").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Graft.clearAdvisories(spark)
+    val capped = withConf("graft.minhash.maxBucket" -> "4") {
+      Dedup.ddMinhashLsh(spark, d).count()
+    }
+    assert(capped == 1L, s"precondition: the blob drops at cap 4: $capped")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def raiseRec = Graft.advisoryRecords(spark).find(a =>
+      a.action == AdvisoryAction.RaiseKnob && a.measured > a.cap)
+    while (raiseRec.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val raise = raiseRec.getOrElse(fail(
+      s"no RaiseKnob record: ${Graft.advisoryRecords(spark)}"))
+    assert(dispatch(raise, () => Dedup.ddMinhashLsh(spark, d).count()) ==
+      12L * 11 / 2 + 1, raise.toString)
+    // SetConf: the exact-tier wall record sets tier-0 (measured zero
+    // pair loss) — dispatched, the operator reproduces its pair set
+    val baseline = Dedup.ddNgramJaccard(spark, sf).count()
+    val setConf = Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
+      .getOrElse(fail("exact-tier record"))
+    assert(setConf.action == AdvisoryAction.SetConf)
+    assert(dispatch(setConf,
+      () => Dedup.ddNgramJaccard(spark, sf).count()) == baseline)
+    // SwitchOperator: the last-rung record re-routes through the
+    // registry to the staged operator — same pair set, bounded spill
+    val switch = Dedup.ngramShuffleWarning(20000000L, 16, 4000000L)
+      .getOrElse(fail("staged-rung record"))
+    assert(switch.action == AdvisoryAction.SwitchOperator)
+    assert(dispatch(switch, () => fail("SwitchOperator must not re-run " +
+      "the firing operator")) == baseline)
+  }
+
+  test("staged shard sizing derives from the measured disk-wall ladder (pure)") {
+    // per-doc spill rates calibrated at the three measured ENOSPC
+    // walls (§8.4.3e/f/g): 78 GB/5M exact+lz4, 78 GB/10M tier-0+lz4,
+    // 72 GB/20M tier-0+zstd; exact+zstd at the measured ~2/3 of lz4
+    assert(Dedup.ngramSinglePlanSpillBytes(5000000L,
+      tier0 = false, zstd = false) == 78000000000L)
+    assert(Dedup.ngramSinglePlanSpillBytes(10000000L,
+      tier0 = true, zstd = false) == 78000000000L)
+    assert(Dedup.ngramSinglePlanSpillBytes(20000000L,
+      tier0 = true, zstd = true) == 72000000000L)
+    assert(Dedup.ngramSinglePlanSpillBytes(5000000L,
+      tier0 = false, zstd = true) == 52000000000L)
+    // k = ceil(spill / budget); the default 18 GB budget reproduces
+    // the measured 20M-doc receipt's k = 4
+    assert(Dedup.ngramStageShards(72000000000L, 18000000000L) == 4)
+    // tiny corpora stage without sharding (and without the overhead)
+    assert(Dedup.ngramStageShards(0L, 18000000000L) == 1)
+    assert(Dedup.ngramStageShards(
+      Dedup.ngramSinglePlanSpillBytes(5000L, tier0 = false, zstd = false),
+      18000000000L) == 1)
+    // exact boundary: a spill equal to the budget needs no split
+    assert(Dedup.ngramStageShards(18000000000L, 18000000000L) == 1)
+    assert(Dedup.ngramStageShards(18000000001L, 18000000000L) == 2)
+    // the 8000× doubling (40M docs, tier-0+zstd) auto-sizes to 8
+    assert(Dedup.ngramStageShards(Dedup.ngramSinglePlanSpillBytes(
+      40000000L, tier0 = true, zstd = true), 18000000000L) == 8)
+    intercept[IllegalArgumentException](Dedup.ngramStageShards(1L, 0L))
+  }
+
+  test("staged mode appends one typed Observe record per stage, shards auto-sized") {
+    Graft.clearAdvisories(spark)
+    val stage = "target/test-ngram-staged-ledger"
+    val n = functions.Dedup.ddNgramJaccardStaged(spark, sf,
+      stageDir = stage).count()
+    assert(n > 0)
+    // fired synchronously by the driver during the eager invocation —
+    // the staged run's audit trail (r18 verdict #2: the returned
+    // frame's .explain shows only the final read)
+    def stageRecs = Graft.advisoryRecords(spark)
+      .filter(a => a.op == "dd_ngram_staged" && a.knob.startsWith("stage:"))
+    val recs = stageRecs
+    assert(recs.map(_.knob) ==
+      Seq("stage:joinable", "stage:prefix", "stage:pairs"), recs.toString)
+    recs.foreach { r =>
+      assert(r.action == AdvisoryAction.Observe, r.toString)
+      // cap = the resolved shard count: the corpus-aware default at a
+      // gate-SF corpus is 1 (the spill prediction fits the budget)
+      assert(r.cap == 1L, s"auto-sized shards at gate SF must be 1: $r")
+      assert(r.measured >= 0L && r.bound > 0L, r.toString)
+      // target = the stage wall in integral ms — a plain field read
+      assert(r.target.toLong >= 0L, r.toString)
+    }
+    // the pairs stage materializes pre-distinct rows: >= the result's
+    assert(recs.last.measured >= n, s"${recs.last} vs $n rows")
+    // an explicit conf beats the auto default and stamps the records
+    withConf("graft.ngram.stageShards" -> "2") {
+      Graft.clearAdvisories(spark)
+      functions.Dedup.ddNgramJaccardStaged(spark, sf,
+        stageDir = stage).count()
+      assert(stageRecs.nonEmpty && stageRecs.forall(_.cap == 2L),
+        stageRecs.toString)
+    }
+    Graft.clearAdvisories(spark)
+  }
+
+  test("stage-filesystem mismatch fires a SetConf advisory (pure URIs)") {
+    import java.net.URI
+    // same filesystem — silent (the sandbox/gate shape)
+    assert(Dedup.stageFsMismatchAdvisory(new URI("file:///data/corpus"),
+      new URI("file:///repo/target/ngram-staged")).isEmpty)
+    // hdfs corpus, driver-local default stage dir — the r18 verdict #4
+    // trap: every staged byte would route through the driver's disk
+    val adv = Dedup.stageFsMismatchAdvisory(
+      new URI("hdfs://nn:8020/data/corpus"),
+      new URI("file:///home/driver/target/ngram-staged"))
+    assert(adv.exists(a => a.action == AdvisoryAction.SetConf &&
+      a.knob == "graft.ngram.stageDir" &&
+      a.target == "hdfs://nn:8020/data/corpus/_ngram_staged"), adv.toString)
+    assert(adv.exists(_.message.contains("LOCAL disk")), adv.toString)
+    // same scheme on different authorities (two clusters) differs too
+    assert(Dedup.stageFsMismatchAdvisory(new URI("hdfs://nn1/d"),
+      new URI("hdfs://nn2/s")).nonEmpty)
   }
 
   test("pruned-observation advisory names the route and knob by prefix (pure)") {

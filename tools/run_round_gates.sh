@@ -77,7 +77,13 @@ stage_bench() {
     tools/runmain.sh graft.Bench | tee "$LOGDIR/bench.raw" &&
     grep '"metric"' "$LOGDIR/bench.raw" | tail -1 >"$LOGDIR/bench.json" &&
     [[ -s "$LOGDIR/bench.json" ]] &&
-    python3 -m json.tool "$LOGDIR/bench.json" >/dev/null  # contract line must PARSE, not just exist
+    python3 -m json.tool "$LOGDIR/bench.json" >/dev/null &&  # contract line must PARSE, not just exist
+    python3 - "$LOGDIR/bench.json" <<'PY'  # r19: drift adjudication reads total_shared as a field
+import json, sys
+d = json.load(open(sys.argv[1]))
+assert isinstance(d.get("total_shared"), (int, float)), "bench contract line must carry total_shared"
+assert 0 < d["total_shared"] <= d["value"], (d["total_shared"], d["value"])
+PY
 }
 
 for s in "${STAGES[@]}"; do
