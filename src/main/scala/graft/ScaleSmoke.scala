@@ -112,10 +112,22 @@ object ScaleSmoke {
     val reuse = sys.env.get("SCALE_SMOKE_REUSE").contains("1") &&
       new java.io.File(s"$big/documents.parquet").exists()
     if (reuse) println(s"reusing existing corpus at $big")
+    // SCALE_SMOKE_TABLES=documents[,embeddings,events] restricts
+    // GENERATION to the named tables — a docs-only frontier probe
+    // (e.g. the 8000× staged run) skips replicating 800M event rows it
+    // never reads. The dir then only holds what was generated: a later
+    // REUSE run of another family must regenerate. Default: all.
+    val genTables = sys.env.get("SCALE_SMOKE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "embeddings", "events"))
+    if (!reuse && genTables != Set("documents", "embeddings", "events"))
+      println(s"generating ONLY ${genTables.mkString(",")} " +
+        "(SCALE_SMOKE_TABLES) — other families need a regenerated corpus")
     // source-doc stride, also the boilerplate-df estimate below (docs-n
     // = count of non-original copies, each carrying the hot suffix)
     val n = stride(Tables.t(spark, src, "documents"), "doc_id")
     if (!reuse) {
+    if (genTables("documents")) {
     val d = Tables.t(spark, src, "documents")
     d.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("doc_id") + col("copy") * n).as("doc_id"),
@@ -125,12 +137,15 @@ object ScaleSmoke {
             lit(boiler))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+    if (genTables("embeddings")) {
     val e = Tables.t(spark, src, "embeddings")
     val ne = stride(e, "vec_id")
     e.crossJoin(spark.range(factor).select(col("id").as("copy")))
       .select((col("vec_id") + col("copy") * ne).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
 
     // events ×factor: new event ids and a DISJOINT user population per
     // copy (user count grows with the corpus — replicating onto the
@@ -140,6 +155,7 @@ object ScaleSmoke {
     // nanosAsLong for a nanos corpus, TIMESTAMP_NTZ for a micros one) —
     // Tables.t's schema-adaptive loader normalizes the replica the same
     // way it normalizes the source.
+    if (genTables("events")) {
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nEv = stride(ev, "event_id")
     val nUsers = stride(ev, "user_id")
@@ -150,12 +166,17 @@ object ScaleSmoke {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$big/events.parquet")
     }
+    }
 
-    val docs = spark.read.parquet(s"$big/documents.parquet").count()
-    val nEmb = spark.read.parquet(s"$big/embeddings.parquet").count()
-    val nEvt = spark.read.parquet(s"$big/events.parquet").count()
+    def countIf(table: String): Long =
+      if (new java.io.File(s"$big/$table.parquet").exists())
+        spark.read.parquet(s"$big/$table.parquet").count()
+      else -1L
+    val docs = countIf("documents")
+    val nEmb = countIf("embeddings")
+    val nEvt = countIf("events")
     println(s"corpus: $docs documents, $nEmb embeddings, " +
-      s"$nEvt events (${factor}x sf0.1)")
+      s"$nEvt events (${factor}x sf0.1; -1 = not generated)")
     val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
     println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
       s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
@@ -183,11 +204,25 @@ object ScaleSmoke {
     // box (measured at 20M docs/72 GB free under zstd). Shard count
     // bounds per-job spill at ~1/K of the single-query plan's.
     time("dd_ngram_staged16") {
-      val shards = sys.env.getOrElse("SCALE_SMOKE_STAGE_SHARDS", "4").toInt
+      // SCALE_SMOKE_STAGE_SHARDS forces k; unset = the corpus-aware
+      // default (round 19: ceil(predicted spill / budget) from the
+      // measured ladder). The resolved k is printed from the staged
+      // mode's own per-stage ledger records (cap field) — the receipt
+      // quotes the auto-sizing, not an assumed constant.
+      val shards = sys.env.get("SCALE_SMOKE_STAGE_SHARDS")
+        .map(_.toInt).getOrElse(-1)
       spark.conf.set("graft.ngram.mhPrefixSlots", "16")
-      try Dedup.ddNgramJaccardStaged(spark, big,
-        stageDir = "target/scale-smoke-staged", shards = shards).count()
-      finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+      try {
+        Graft.clearAdvisories(spark)
+        val n = Dedup.ddNgramJaccardStaged(spark, big,
+          stageDir = "target/scale-smoke-staged", shards = shards).count()
+        Graft.advisoryRecords(spark)
+          .filter(a => a.op == "dd_ngram_staged" &&
+            a.knob.startsWith("stage:"))
+          .foreach(a => println(s"  [staged] ${a.knob}: shards=${a.cap} " +
+            s"rows=${a.measured} bytes=${a.bound} wallMs=${a.target}"))
+        n
+      } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
     }
     // candidate count alongside wall-clock: the verify is candidate-
     // proportional, so wall growing faster than candidates would flag a
