@@ -1140,6 +1140,22 @@ class KnobsSpec extends AnyFunSuite {
     Graft.clearAdvisories(spark)
   }
 
+  test("staged shard resolution: explicit argument beats the conf, conf beats auto") {
+    // the full precedence chain; conf-beats-auto and auto=1-at-gate-SF
+    // are pinned in the per-stage-records test — this pins arg>conf
+    val stage = "target/test-ngram-staged-precedence"
+    withConf("graft.ngram.stageShards" -> "3") {
+      Graft.clearAdvisories(spark)
+      functions.Dedup.ddNgramJaccardStaged(spark, sf,
+        stageDir = stage, shards = 2).count()
+      val caps = Graft.advisoryRecords(spark)
+        .filter(_.knob.startsWith("stage:")).map(_.cap)
+      assert(caps.nonEmpty && caps.forall(_ == 2L),
+        s"explicit shards=2 must beat conf=3: $caps")
+    }
+    Graft.clearAdvisories(spark)
+  }
+
   test("stage-filesystem mismatch fires a SetConf advisory (pure URIs)") {
     import java.net.URI
     // same filesystem — silent (the sandbox/gate shape)
