@@ -215,6 +215,10 @@ object Bench {
     val sharedExclude = Set("dd_ngram_staged")
     val totalShared = results.collect {
       case (k, Some(v)) if !sharedExclude(k) => v }.sum
+    // the reported exclusion list renders from the SAME set that
+    // computed the subtotal — they cannot diverge
+    val sharedExcludesJson = sharedExclude.toSeq.sorted
+      .map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val totals = passes.map(p => p._2.values.flatten.sum).mkString("[", ",", "]")
     val sents = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     val calibJson = {
@@ -227,7 +231,7 @@ object Bench {
       val f7 = suppFailed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7,"failed":$f7}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_shared":$totalShared,"shared_excludes":["dd_ngram_staged"],"queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_shared":$totalShared,"shared_excludes":$sharedExcludesJson,"queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,11 +76,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 sealed trait AdvisoryAction
 object AdvisoryAction {
   /** Re-run with the session conf (or operator parameter) named by
-    * `knob` raised: to at least `measured` when `measured >= 0` —
-    * `target` then carries the same value rendered as a string — or,
-    * when `measured == -1` and `target` is empty, past a value the
-    * firing site could not observe (e.g. the AQE-pruned-observation
-    * corner: raise past the largest expected duplicate-blob size). */
+    * `knob` raised — to at least the value in `target` when `target`
+    * is non-empty. An EMPTY `target` means the firing site could not
+    * observe a sufficient value (the AQE-pruned-observation corner;
+    * the streaming drop counter, whose `measured` is a DROP COUNT,
+    * not a cap): a generic dispatcher must NOT auto-raise there —
+    * raise past the largest expected duplicate-blob size manually.
+    * The raise-to value deliberately rides `target`, not `measured`:
+    * `measured` stays purely descriptive (for the cap family the two
+    * coincide; for the drop family auto-raising to `measured` would
+    * SHRINK the cap to the drop count — the round-19 review corner). */
   case object RaiseKnob extends AdvisoryAction
   /** Re-run with the conf key named by `knob` SET to the literal
     * value in `target` (e.g. `spark.io.compression.codec` → "zstd").
@@ -129,8 +134,9 @@ object AdvisoryAction {
   *  - `action`: the [[AdvisoryAction]] a generic consumer dispatches on
   *  - `target`: the action's operand — the conf value to set
   *    (SetConf), the operator name to switch to (SwitchOperator), the
-  *    rendered raise-to value (RaiseKnob, empty when unknown), or the
-  *    stage wall-clock in integral milliseconds (the staged mode's
+  *    rendered raise-to value (RaiseKnob; EMPTY when no sufficient
+  *    value was observable — do not auto-raise), or the stage
+  *    wall-clock in integral milliseconds (the staged mode's
   *    Observe records; empty for other Observe records) */
 case class Advisory(op: String, knob: String, cap: Long, measured: Long,
     bound: Long, message: String, action: AdvisoryAction, target: String)

@@ -117,10 +117,16 @@ object ScaleSmoke {
     // (e.g. the 8000× staged run) skips replicating 800M event rows it
     // never reads. The dir then only holds what was generated: a later
     // REUSE run of another family must regenerate. Default: all.
+    val allTables = Set("documents", "embeddings", "events")
     val genTables = sys.env.get("SCALE_SMOKE_TABLES")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("documents", "embeddings", "events"))
-    if (!reuse && genTables != Set("documents", "embeddings", "events"))
+      .getOrElse(allTables)
+    // a typo ("embedding") would otherwise silently skip a table and
+    // crash HOURS later at the first query over the missing family
+    require(genTables.nonEmpty && genTables.subsetOf(allTables),
+      s"SCALE_SMOKE_TABLES must name only ${allTables.mkString(",")}: " +
+        s"got ${genTables.mkString(",")}")
+    if (!reuse && genTables != allTables)
       println(s"generating ONLY ${genTables.mkString(",")} " +
         "(SCALE_SMOKE_TABLES) — other families need a regenerated corpus")
     // source-doc stride, also the boilerplate-df estimate below (docs-n

@@ -259,7 +259,17 @@ object Dedup {
     val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
     val k = if (shards > 0) shards
       else spark.conf.getOption("graft.ngram.stageShards") match {
-        case Some(v) => v.trim.toInt
+        case Some(v) =>
+          val parsed =
+            try v.trim.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft.ngram.stageShards must be a positive integer, got '$v'")
+            }
+          require(parsed > 0,
+            s"graft.ngram.stageShards must be positive, got $parsed " +
+            "(k = 0 would write no stage and fail opaquely at the read)")
+          parsed
         case None => ngramStageShards(
           ngramSinglePlanSpillBytes(nDocs, tier0 = slots > 0,
             zstd = spark.conf.get("spark.io.compression.codec", "lz4")
@@ -279,11 +289,16 @@ object Dedup {
     val marker = new Path(stagePath, "_graft_stage")
     if (fs.exists(stagePath)) {
       // staged-owned = marked by a prior r19+ run, or shaped exactly
-      // like one (pre-marker runs left only the three stage subdirs) —
-      // anything else is refused, not destroyed
+      // like a pre-marker r18 residue — which always retained ALL
+      // THREE stage dirs (the old code deleted nothing), so the
+      // grandfather clause requires `joinable` present: a user's
+      // persisted COPY of results (typically `pairs/` alone) is
+      // refused, not destroyed. Anything with foreign entries is
+      // refused outright.
       val entries = fs.listStatus(stagePath).map(_.getPath.getName)
       val owned = fs.exists(marker) ||
-        entries.forall(Set("joinable", "prefix", "pairs", "_graft_stage"))
+        (entries.forall(Set("joinable", "prefix", "pairs")) &&
+          entries.contains("joinable"))
       if (entries.nonEmpty && !owned)
         throw new IllegalArgumentException(
           s"refusing to clear stage dir '$stage': it is non-empty and " +
@@ -415,7 +430,17 @@ object Dedup {
         "not the cluster's. Set graft.ngram.stageDir to a writable " +
         "path on the corpus filesystem.",
         action = graft.AdvisoryAction.SetConf,
-        target = corpusUri.toString.stripSuffix("/") + "/_ngram_staged"))
+        // suggest a SIBLING of the corpus dir, not a child: staging
+        // inside the dataset root would feed transient stage churn to
+        // corpus-level backup/sync tooling (falls back to a child
+        // only when the corpus IS the filesystem root)
+        target = {
+          val c = new org.apache.hadoop.fs.Path(corpusUri)
+          Option(c.getParent)
+            .map(p => new org.apache.hadoop.fs.Path(p, "_ngram_staged"))
+            .getOrElse(new org.apache.hadoop.fs.Path(c, "_ngram_staged"))
+            .toString
+        }))
     else None
   }
 

@@ -1025,14 +1025,19 @@ class KnobsSpec extends AnyFunSuite {
     // EVERY advisory family through one match on `action`, reading
     // only knob/measured/target — no op-specific branching, no prose.
     // ---- the generic dispatcher: this match IS the contract ----
+    // RaiseKnob raises to the value in TARGET (not `measured`, which
+    // is descriptive — for the streaming drop advisory it is a drop
+    // COUNT, and raising the cap to it would SHRINK the cap); an
+    // empty target means no sufficient value was observable and the
+    // dispatcher must not auto-raise
     def dispatch(a: graft.Advisory, self: () => Long): Long = a.action match {
-      case AdvisoryAction.RaiseKnob =>
-        withConf(a.knob -> a.measured.toString)(self())
+      case AdvisoryAction.RaiseKnob if a.target.nonEmpty =>
+        withConf(a.knob -> a.target)(self())
       case AdvisoryAction.SetConf =>
         withConf(a.knob -> a.target)(self())
       case AdvisoryAction.SwitchOperator =>
         Graft.queries(a.target)(spark, sf).count()
-      case AdvisoryAction.Observe => self()
+      case _ => self() // Observe / unobservable RaiseKnob: no auto-action
     }
     // ---- end dispatcher ----
     // RaiseKnob, END-TO-END: a capped blob run fires the measured
@@ -1052,12 +1057,19 @@ class KnobsSpec extends AnyFunSuite {
     assert(capped == 1L, s"precondition: the blob drops at cap 4: $capped")
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     def raiseRec = Graft.advisoryRecords(spark).find(a =>
-      a.action == AdvisoryAction.RaiseKnob && a.measured > a.cap)
+      a.action == AdvisoryAction.RaiseKnob && a.target.nonEmpty)
     while (raiseRec.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     val raise = raiseRec.getOrElse(fail(
       s"no RaiseKnob record: ${Graft.advisoryRecords(spark)}"))
     assert(dispatch(raise, () => Dedup.ddMinhashLsh(spark, d).count()) ==
       12L * 11 / 2 + 1, raise.toString)
+    // the streaming drop advisory's measured is a DROP COUNT, not a
+    // raise-to value — its target must be empty so this dispatcher
+    // leaves the knob alone instead of shrinking the cap to the count
+    val drop = graft.streaming.Streams.nearDupDropAdvisory(5L, 5L)
+      .getOrElse(fail("drop record"))
+    assert(drop.action == AdvisoryAction.RaiseKnob && drop.target.isEmpty,
+      drop.toString)
     // SetConf: the exact-tier wall record sets tier-0 (measured zero
     // pair loss) — dispatched, the operator reproduces its pair set
     val baseline = Dedup.ddNgramJaccard(spark, sf).count()
@@ -1166,9 +1178,11 @@ class KnobsSpec extends AnyFunSuite {
     val adv = Dedup.stageFsMismatchAdvisory(
       new URI("hdfs://nn:8020/data/corpus"),
       new URI("file:///home/driver/target/ngram-staged"))
+    // the suggestion is a corpus SIBLING (staging inside the dataset
+    // root would feed stage churn to corpus-level backup/sync tooling)
     assert(adv.exists(a => a.action == AdvisoryAction.SetConf &&
       a.knob == "graft.ngram.stageDir" &&
-      a.target == "hdfs://nn:8020/data/corpus/_ngram_staged"), adv.toString)
+      a.target == "hdfs://nn:8020/data/_ngram_staged"), adv.toString)
     assert(adv.exists(_.message.contains("LOCAL disk")), adv.toString)
     // same scheme on different authorities (two clusters) differs too
     assert(Dedup.stageFsMismatchAdvisory(new URI("hdfs://nn1/d"),
