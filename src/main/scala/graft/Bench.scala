@@ -210,11 +210,24 @@ object Bench {
     // in r18) carries by-design eager staging work, so the headline
     // total stopped matching the pre-r18 boards. total_shared sums the
     // 56-query r17 set — round-over-round drift adjudication is a
-    // field read, not a recompute. Extend the exclusion set if a
-    // future round registers further by-design-heavier queries.
-    val sharedExclude = Set("dd_ngram_staged")
+    // field read, not a recompute.
+    // The exclusion set is REGISTRY-DERIVED (round 20, r19
+    // verdict #5): a query registers itself heavy via the module's
+    // benchHeavy tag — no literal here to forget to extend.
+    val sharedExclude = SparkEntry.benchHeavy
+    require(sharedExclude.subsetOf(SparkEntry.queries.keySet),
+      "benchHeavy tags must name registered queries: " +
+        (sharedExclude -- SparkEntry.queries.keySet))
     val totalShared = results.collect {
       case (k, Some(v)) if !sharedExclude(k) => v }.sum
+    // shared_count vs shared_expected (r19 ADVICE): a shared query that
+    // fails silently shrinks total_shared — a drift read must be able
+    // to tell "slower" from "summed over fewer queries", so the gate
+    // asserts the two are equal
+    val sharedExpected = SparkEntry.queries.keysIterator
+      .count(!sharedExclude(_))
+    val sharedCount = results.count {
+      case (k, v) => !sharedExclude(k) && v.isDefined }
     // the reported exclusion list renders from the SAME set that
     // computed the subtotal — they cannot diverge
     val sharedExcludesJson = sharedExclude.toSeq.sorted
@@ -231,7 +244,7 @@ object Bench {
       val f7 = suppFailed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       s""","supplement":{"iters":7,"note":"contended artifact: per-query min-of-7 re-runs are the comparison of record for these queries","queries":$qs7,"failed":$f7}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_shared":$totalShared,"shared_excludes":$sharedExcludesJson,"queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_shared":$totalShared,"shared_count":$sharedCount,"shared_expected":$sharedExpected,"shared_excludes":$sharedExcludesJson,"queries":$qs,"failed":$failed,"pass_totals":$totals,"sentinel":$sents,"calib":$calibJson$suppJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

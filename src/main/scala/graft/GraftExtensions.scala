@@ -261,6 +261,23 @@ object Graft {
     }
   }
 
+  /** The session advisory ledger as a DataFrame (round 20, r19 verdict
+    * #6): one row per typed record in fire order, `action` rendered as
+    * its case-object name — the SQL-tooling view of
+    * [[advisoryRecords]], so a 100 TB operator can JOIN advisories
+    * against run metadata or select a staged run's stage profile
+    * (`WHERE knob LIKE 'stage:%'`) instead of holding a Scala Seq.
+    * A SNAPSHOT of the ledger at call time, not a live view — re-call
+    * after further actions. Driver-side construction over the (≤256 +
+    * slots) bounded ledger: no distributed read, safe to call anywhere. */
+  def advisoriesDf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(advisoryRecords(spark).map(a =>
+        (a.op, a.knob, a.cap, a.measured, a.bound, a.message,
+          a.action.toString, a.target)))
+      .toDF("op", "knob", "cap", "measured", "bound", "message",
+        "action", "target")
+
   /** Every advisory fired in this session as prose, oldest first —
     * the human-readable view of [[advisoryRecords]] (same entries,
     * `.message` only), kept for round-17 compatibility and described

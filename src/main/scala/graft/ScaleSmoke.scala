@@ -183,14 +183,34 @@ object ScaleSmoke {
     val nEvt = countIf("events")
     println(s"corpus: $docs documents, $nEmb embeddings, " +
       s"$nEvt events (${factor}x sf0.1; -1 = not generated)")
-    val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
-    println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
-      s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
-        else "cap does not bind"}")
-    def time(name: String)(f: => Long): Unit = if (only(name)) {
-      val t0 = System.nanoTime(); val rows = f
-      println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s   rows=$rows")
+    // the query section keys off what EXISTS in the corpus dir, not
+    // off SCALE_SMOKE_TABLES (r19 ADVICE: the gen restriction alone
+    // left every family's queries running — a docs-only generation
+    // without the op-filter arg crashed hours later at the first
+    // query over a missing table; this also covers a REUSE of a
+    // partially-generated corpus). An op named by the explicit CLI
+    // filter still skips VISIBLY when its table is absent.
+    val present = Map(
+      "documents" -> docs, "embeddings" -> nEmb, "events" -> nEvt)
+      .collect { case (t, c) if c >= 0 => t }.toSet
+    if (docs >= 0) {
+      // dfCap arithmetic is meaningless without documents (sqrt(-1)
+      // would print a silent 64-cap line — the r19 ADVICE NaN nit)
+      val cap = math.max(64L, 8L * math.round(math.sqrt(docs.toDouble)))
+      println(s"ngram dfCap = $cap (8*sqrt(N)); boilerplate shingle df ~ " +
+        s"${docs - n} -> ${if (docs - n > cap) "CAP BINDS (hot-key quadratic defused)"
+          else "cap does not bind"}")
     }
+    def time(name: String, needs: String = "documents")(f: => Long): Unit =
+      if (only(name)) {
+        if (!present(needs))
+          println(s"$name SKIPPED: table '$needs' not in this corpus " +
+            "(generate it, or narrow the op filter)")
+        else {
+          val t0 = System.nanoTime(); val rows = f
+          println(f"$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s   rows=$rows")
+        }
+      }
     spark.range(1000000).groupBy(expr("id % 97")).count().count() // warmup
     import graft.functions._
     time("dd_exact")(Dedup.ddExact(spark, big).count())
@@ -227,6 +247,13 @@ object ScaleSmoke {
             a.knob.startsWith("stage:"))
           .foreach(a => println(s"  [staged] ${a.knob}: shards=${a.cap} " +
             s"rows=${a.measured} bytes=${a.bound} wallMs=${a.target}"))
+        // the disk-aware budget decision (round 20) — the receipt
+        // quotes probed free space, chosen budget, and its source
+        Graft.advisoryRecords(spark)
+          .filter(a => a.knob == "graft.ngram.stageSpillBudgetBytes")
+          .foreach(a => println(s"  [staged] budget=${a.cap} " +
+            s"probedFree=${a.measured} predictedSpill=${a.bound} " +
+            s"source=${a.target}"))
         n
       } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
     }
@@ -258,6 +285,29 @@ object ScaleSmoke {
       try clusterRun()
       finally spark.conf.unset("graft.ngram.mhPrefixSlots")
     }
+    // the staged composition for components (round 20, r19 verdict #3:
+    // dd_cluster's wall IS pair generation — this is the escape's
+    // receipt past the 20M single-plan ENOSPC). Checksum as in
+    // clusterRun so label parity with dd_cluster_mh16 is a field read.
+    time("dd_cluster_staged") {
+      val shards = sys.env.get("SCALE_SMOKE_STAGE_SHARDS")
+        .map(_.toInt).getOrElse(-1)
+      spark.conf.set("graft.ngram.mhPrefixSlots", "16")
+      try {
+        Graft.clearAdvisories(spark)
+        val r = Dedup.ddClusterStaged(spark, big,
+            stageDir = "target/scale-smoke-staged", shards = shards)
+          .agg(count(lit(1)),
+            expr("bit_xor(xxhash64(doc_id, cluster))")).head
+        println(s"  dd_cluster_staged label checksum=${r.getLong(1)}")
+        Graft.advisoryRecords(spark)
+          .filter(a => a.op == "dd_ngram_staged" &&
+            a.knob.startsWith("stage:"))
+          .foreach(a => println(s"  [staged] ${a.knob}: shards=${a.cap} " +
+            s"rows=${a.measured} bytes=${a.bound} wallMs=${a.target}"))
+        r.getLong(0)
+      } finally spark.conf.unset("graft.ngram.mhPrefixSlots")
+    }
     time("dd_simhash")(Dedup.ddSimhash(spark, big).count())
     // both simhash band constructions, candidates + full operator: the
     // wide (8,4) plan must show the candidate set decoupling from the
@@ -275,19 +325,26 @@ object ScaleSmoke {
     // ~factor·|V| distinct tokens, so a k=100 cut actually BINDS here —
     // exercises the TakeOrdered path the sf corpus (31 tokens) never hits
     time("ta_vocab_k100")(TextAnalysis.taVocab(spark, big, 100).count())
-    time("ss_ivf_topk")(Similarity.ssIvfTopK(spark, big).count())
+    time("ss_ivf_topk", needs = "embeddings")(
+      Similarity.ssIvfTopK(spark, big).count())
     // corpus-size-routed: exact broadcast loop at <=2^16 vectors (20x =
     // 40k), bucketed IVF-cell pairing above (40x = 80k) — the factor
     // sweep exercises both regimes of the round-7 routing
-    time("dd_embed_cosine")(Dedup.ddEmbedCosine(spark, big).count())
+    time("dd_embed_cosine", needs = "embeddings")(
+      Dedup.ddEmbedCosine(spark, big).count())
     // events family: per-user windows (sessionize, as-of) must scale
     // with the USER population, the range join with its bucket grid
     import graft.queries.Relational
-    time("q11_hourly")(Relational.q11HourlyEvents(spark, big).count())
-    time("q12_sessionize")(Relational.q12Sessionize(spark, big).count())
-    time("q14_asof_join")(Relational.q14AsofJoin(spark, big).count())
-    time("q15_range_join")(Relational.q15RangeJoin(spark, big).count())
-    time("q17_distinct")(Relational.q17DistinctUsers(spark, big).count())
+    time("q11_hourly", needs = "events")(
+      Relational.q11HourlyEvents(spark, big).count())
+    time("q12_sessionize", needs = "events")(
+      Relational.q12Sessionize(spark, big).count())
+    time("q14_asof_join", needs = "events")(
+      Relational.q14AsofJoin(spark, big).count())
+    time("q15_range_join", needs = "events")(
+      Relational.q15RangeJoin(spark, big).count())
+    time("q17_distinct", needs = "events")(
+      Relational.q17DistinctUsers(spark, big).count())
     spark.stop()
   }
 }

@@ -32,4 +32,11 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++
       graft.pipeline.PipelineQueries.oracles
+
+  /** Registered queries tagged heavier-by-design (eager staged
+    * execution) — the union over modules' tags; Bench derives its
+    * round-comparable `shared_excludes` from THIS registry instead of
+    * a hardcoded literal (round 20, r19 verdict #5). Only the dedup
+    * module registers staged operators today. */
+  def benchHeavy: Set[String] = Dedup.benchHeavy
 }

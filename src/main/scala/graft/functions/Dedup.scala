@@ -57,6 +57,15 @@ object Dedup {
   private def confLong(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.get(key, default.toString).toLong
 
+  /** Whether the session's shuffle codec is already zstd — the escape
+    * the tier-0 ladder rung would otherwise keep recommending on every
+    * retry (r19 ADVICE: the codec is build-time-static, so a dispatcher
+    * applying the SetConf record at session rebuild got the identical
+    * advisory again and the retry-until-silent loop never converged). */
+  private def zstdActive(spark: SparkSession): Boolean =
+    spark.conf.get("spark.io.compression.codec", "lz4")
+      .toLowerCase.contains("zstd")
+
   private def confDouble(spark: SparkSession, key: String,
       default: Double): Double =
     spark.conf.get(key, default.toString).toDouble
@@ -165,7 +174,8 @@ object Dedup {
     ngramShuffleWarning(nDocs, slots,
         confLong(spark, "graft.ngram.warnDocs", 4000000L),
         confLong(spark, "graft.ngram.tier0WarnDocs", 8000000L),
-        confLong(spark, "graft.ngram.stagedWarnDocs", 16000000L))
+        confLong(spark, "graft.ngram.stagedWarnDocs", 16000000L),
+        zstd = zstdActive(spark))
       .foreach(graft.Graft.advise(spark, _, log))
     exactVerify(ngramCandidatesFrom(base,
         if (dfCap > 0) dfCap else capForDocs(spark, nDocs)), base,
@@ -218,23 +228,31 @@ object Dedup {
     * Shard count: an explicit `shards` argument wins, then an explicit
     * `graft.ngram.stageShards` conf, then the CORPUS-AWARE default
     * (round 19): ceil([[ngramSinglePlanSpillBytes]] / the per-node
-    * spill budget `graft.ngram.stageSpillBudgetBytes`, default 18 GB —
-    * the value that reproduces the measured 20M-doc receipt's k = 4
-    * with ~2× headroom under this box's 72 GB). Tiny corpora auto-size
-    * to k = 1 (pure staging, no sharding overhead).
+    * spill budget). The budget itself is DISK-AWARE (round 20, r19
+    * verdict #2 — the prior 18 GB literal was calibrated to this box's
+    * 72 GB free): an explicit `graft.ngram.stageSpillBudgetBytes` conf
+    * wins, else 25% of the stage filesystem's probed free bytes, else
+    * the calibrated 18 GB fallback when the filesystem cannot say —
+    * see [[stageSpillBudget]]; the auto path fires one typed Observe
+    * record quoting probed-free vs chosen budget. Tiny corpora
+    * auto-size to k = 1 (pure staging, no sharding overhead).
     *
     * Eager (runs jobs and writes under `stageDir`), unlike every other
     * operator here — the returned frame reads the materialized result.
-    * The invocation OWNS `stageDir` (deleted at entry, rewritten, and
-    * stamped with a `_graft_stage` marker; a non-empty dir WITHOUT the
-    * marker is refused, not destroyed — a mistyped stageDir pointing
-    * at data must not be deleted). Consequences: concurrent
-    * invocations must pass distinct dirs, and a returned frame is only
-    * valid until the NEXT invocation on the same stageDir (that
-    * invocation deletes the files under the earlier handle — callers
-    * needing persistence must write the result elsewhere first). The
-    * default (`graft.ngram.stageDir`) is safe only for sequential use,
-    * which is what every registered-gate path does. On a cluster whose
+    * The invocation OWNS `stageDir` (stamped with a `_graft_stage`
+    * marker; a non-empty dir WITHOUT the marker is refused, not
+    * destroyed — a mistyped stageDir pointing at data must not be
+    * deleted). Each invocation writes under its own monotonic
+    * `run-NNNNNN/` subdirectory and reclaims only OLDER runs at entry,
+    * keeping the newest prior run intact (round 20, r19 verdict #4:
+    * previously the next invocation deleted the files under the
+    * earlier handle) — so with SEQUENTIAL use a returned frame stays
+    * valid through the next invocation on the same stageDir and is
+    * reclaimed at the one after (at most two runs coexist, bounding
+    * the retained footprint at one extra `pairs/` result). Concurrent
+    * invocations must still pass distinct dirs. The default
+    * (`graft.ngram.stageDir`) is safe for sequential use, which is
+    * what every registered-gate path does. On a cluster whose
     * corpus lives on a different filesystem (hdfs/s3a) the
     * driver-relative default stages through the LOCAL filesystem — a
     * typed SetConf advisory fires naming the mismatch (round 19).
@@ -257,6 +275,9 @@ object Dedup {
     val slots = confLong(spark, "graft.ngram.mhPrefixSlots", 0L).toInt
     val minM = confLong(spark, "graft.ngram.mhPrefixMin", 2L).toInt
     val nDocs = graft.Tables.footerRowCount(spark, dir, "documents")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new Path(stage)
+    val fs = stagePath.getFileSystem(hadoopConf)
     val k = if (shards > 0) shards
       else spark.conf.getOption("graft.ngram.stageShards") match {
         case Some(v) =>
@@ -270,23 +291,50 @@ object Dedup {
             s"graft.ngram.stageShards must be positive, got $parsed " +
             "(k = 0 would write no stage and fail opaquely at the read)")
           parsed
-        case None => ngramStageShards(
-          ngramSinglePlanSpillBytes(nDocs, tier0 = slots > 0,
-            zstd = spark.conf.get("spark.io.compression.codec", "lz4")
-              .toLowerCase.contains("zstd")),
-          confLong(spark, "graft.ngram.stageSpillBudgetBytes",
-            18000000000L))
+        case None =>
+          val spill = ngramSinglePlanSpillBytes(nDocs, tier0 = slots > 0,
+            zstd = zstdActive(spark))
+          val confBudget =
+            spark.conf.getOption("graft.ngram.stageSpillBudgetBytes")
+              .map { v =>
+                try v.trim.toLong
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    "graft.ngram.stageSpillBudgetBytes must be a " +
+                    s"positive long, got '$v'")
+                }
+              }
+          val probed = probeStageFree(fs, stagePath)
+          val (budget, source) = stageSpillBudget(confBudget, probed)
+          val sized = ngramStageShards(spill, budget)
+          // one Observe record whenever the budget was CHOSEN rather
+          // than configured — the sizing decision must be auditable
+          // (an explicit conf is the user's own choice; stays silent)
+          if (confBudget.isEmpty)
+            graft.Graft.advise(spark, graft.Advisory("dd_ngram_staged",
+              knob = "graft.ngram.stageSpillBudgetBytes", cap = budget,
+              measured = probed, bound = spill,
+              s"dd_ngram_staged auto-sized shards=$sized: predicted " +
+              s"single-plan spill $spill bytes against a $source spill " +
+              s"budget of $budget bytes" + (if (source == "probed")
+                s" (25% of $probed free bytes on the stage filesystem — " +
+                "NOTE: a remote-FS probe reports cluster-wide free space " +
+                "while the budget bounds PER-NODE spill)"
+              else " (free-space probe unavailable — the box-calibrated " +
+                "default)") +
+              ". Override via graft.ngram.stageSpillBudgetBytes.",
+              action = graft.AdvisoryAction.Observe, target = source), log)
+          sized
       }
     val cap = if (dfCap > 0) dfCap else capForDocs(spark, nDocs)
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val stagePath = new Path(stage)
-    val fs = stagePath.getFileSystem(hadoopConf)
     val corpusPath = new Path(dir)
     stageFsMismatchAdvisory(
         corpusPath.getFileSystem(hadoopConf).makeQualified(corpusPath).toUri,
         fs.makeQualified(stagePath).toUri)
       .foreach(graft.Graft.advise(spark, _, log))
     val marker = new Path(stagePath, "_graft_stage")
+    val RunName = "run-(\\d+)".r
+    var prevRun = 0L // newest prior run id — kept live through this run
     if (fs.exists(stagePath)) {
       // staged-owned = marked by a prior r19+ run, or shaped exactly
       // like a pre-marker r18 residue — which always retained ALL
@@ -296,6 +344,7 @@ object Dedup {
       // refused, not destroyed. Anything with foreign entries is
       // refused outright.
       val entries = fs.listStatus(stagePath).map(_.getPath.getName)
+        .filterNot(_ == "_graft_stage")
       val owned = fs.exists(marker) ||
         (entries.forall(Set("joinable", "prefix", "pairs")) &&
           entries.contains("joinable"))
@@ -306,10 +355,21 @@ object Dedup {
           "mistyped stageDir / graft.ngram.stageDir pointing at a data " +
           "directory must not be silently destroyed. Pass an empty or " +
           "staged-owned directory.")
-      fs.delete(stagePath, true)
+      // reclaim: pre-run-subdir residue (flat joinable/prefix/pairs,
+      // r18/r19 layout — its contract already invalidated the frame at
+      // the next invocation) goes now; among run-*/ subdirs only the
+      // NEWEST survives — it may back a live frame from the previous
+      // invocation (the r19 ADVICE foot-gun this layout removes)
+      val runIds = entries.collect { case RunName(id) => id.toLong }
+      prevRun = if (runIds.isEmpty) 0L else runIds.max
+      entries.foreach {
+        case RunName(id) if id.toLong == prevRun => ()
+        case e => fs.delete(new Path(stagePath, e), true)
+      }
     }
-    fs.mkdirs(stagePath)
-    fs.create(marker).close()
+    val runStr = f"$stage/run-${prevRun + 1L}%06d"
+    fs.mkdirs(new Path(runStr))
+    if (!fs.exists(marker)) fs.create(marker).close()
     val base = ngramBase(spark, dir)
     // schemas captured from the plans (no execution) so the staged
     // parquet reads never depend on inference — an all-empty stage
@@ -327,13 +387,13 @@ object Dedup {
     // (the returned frame's .explain shows only the final read, so the
     // ledger is where a 100 TB operator reads what the stages did)
     def stageRecord(name: String, wallMs: Long): Unit = {
-      val p = new Path(stagePath, name)
+      val p = new Path(runStr, name)
       val rows = graft.Tables.footerRowCountAtPath(spark, p.toString)
       val bytes = fs.getContentSummary(p).getLength
       graft.Graft.advise(spark, graft.Advisory("dd_ngram_staged",
         knob = s"stage:$name", cap = k, measured = rows, bound = bytes,
         s"dd_ngram_staged stage '$name': $rows rows, $bytes bytes " +
-        s"written in $wallMs ms across $k shard job(s) under '$stage'.",
+        s"written in $wallMs ms across $k shard job(s) under '$runStr'.",
         action = graft.AdvisoryAction.Observe,
         target = wallMs.toString), log)
     }
@@ -344,35 +404,35 @@ object Dedup {
     val w1 = timed((0 until k).foreach { i =>
       ngramJoinable(
           ngramExploded(base).where(pmod(col("sh"), lit(k)) === i), cap)
-        .write.mode("append").parquet(s"$stage/joinable")
+        .write.mode("append").parquet(s"$runStr/joinable")
       afterJob()
     })
     stageRecord("joinable", w1)
     val joinable = spark.read.schema(joinableSchema)
-      .parquet(s"$stage/joinable")
+      .parquet(s"$runStr/joinable")
     val prefixSchema = ngramPrefix(joinable).schema
     val w2 = timed((0 until k).foreach { i =>
       ngramPrefix(joinable.where(pmod(col("doc_id"), lit(k)) === i))
-        .write.mode("append").parquet(s"$stage/prefix")
+        .write.mode("append").parquet(s"$runStr/prefix")
       afterJob()
     })
     stageRecord("prefix", w2)
-    val prefix = spark.read.schema(prefixSchema).parquet(s"$stage/prefix")
+    val prefix = spark.read.schema(prefixSchema).parquet(s"$runStr/prefix")
     val pairsSchema = exactVerify(ngramPairJoin(prefix), base,
       mhPrefixSlots = slots, mhPrefixMin = minM).schema
     val w3 = timed((0 until k).foreach { i =>
       exactVerify(
           ngramPairJoin(prefix.where(pmod(col("sh"), lit(k)) === i)), base,
           mhPrefixSlots = slots, mhPrefixMin = minM)
-        .write.mode("append").parquet(s"$stage/pairs")
+        .write.mode("append").parquet(s"$runStr/pairs")
       afterJob()
     })
     stageRecord("pairs", w3)
     // only pairs/ backs the returned frame — drop the other two stages'
     // footprint NOW, not at the next invocation (r18 verdict #3)
-    fs.delete(new Path(stagePath, "joinable"), true)
-    fs.delete(new Path(stagePath, "prefix"), true)
-    spark.read.schema(pairsSchema).parquet(s"$stage/pairs")
+    fs.delete(new Path(runStr, "joinable"), true)
+    fs.delete(new Path(runStr, "prefix"), true)
+    spark.read.schema(pairsSchema).parquet(s"$runStr/pairs")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -405,6 +465,52 @@ object Dedup {
     require(budgetBytes > 0, s"spill budget must be positive: $budgetBytes")
     math.max(1L, math.ceil(spillBytes.toDouble / budgetBytes).toLong).toInt
   }
+
+  private[graft] val stageBudgetFallbackBytes = 18000000000L
+  private[graft] val stageBudgetFraction = 0.25
+  private[graft] val stageBudgetFloorBytes = 1000000000L
+  // a generic Hadoop FileSystem that doesn't implement getStatus
+  // reports remaining = Long.MaxValue; anything past 1 PB is treated
+  // as "the filesystem cannot say" rather than a usable measurement
+  private[graft] val stageBudgetProbeCeilingBytes = 1000000000000000L
+
+  /** Per-node stage spill budget (round 20, r19 verdict #2: the 18 GB
+    * literal was calibrated to THIS box's 72 GB free and silently
+    * mis-sized k on any other node). PURE — pinned in KnobsSpec.
+    * Precedence: an explicit `graft.ngram.stageSpillBudgetBytes` conf
+    * wins; else 25% of the PROBED free bytes on the stage filesystem
+    * (conservative: the staged run shares the disk with the corpus,
+    * the other stages' parquet, and everything else on the node),
+    * floored at 1 GB so a nearly-full disk degrades to many small
+    * shards instead of a degenerate budget; else — probe unavailable
+    * (-1) or past the 1 PB sanity fence — the box-calibrated 18 GB
+    * fallback. Caveat the Observe advisory quotes: a remote-FS probe
+    * (hdfs getStatus) reports CLUSTER-wide remaining while the budget
+    * bounds PER-NODE spill — the conf override is the per-node escape.
+    * Returns (budget, source) with source ∈ {conf, probed, fallback}. */
+  private[graft] def stageSpillBudget(confBytes: Option[Long],
+      probedFreeBytes: Long): (Long, String) = confBytes match {
+    case Some(b) =>
+      require(b > 0,
+        s"graft.ngram.stageSpillBudgetBytes must be positive: $b")
+      (b, "conf")
+    case None if probedFreeBytes > 0 &&
+        probedFreeBytes < stageBudgetProbeCeilingBytes =>
+      (math.max(stageBudgetFloorBytes,
+        (probedFreeBytes * stageBudgetFraction).toLong), "probed")
+    case None => (stageBudgetFallbackBytes, "fallback")
+  }
+
+  /** Free bytes on the stage filesystem, probed at the deepest
+    * EXISTING ancestor of the stage path (the stage dir itself may not
+    * exist yet on a first run); -1 when the filesystem cannot say. */
+  private[graft] def probeStageFree(fs: org.apache.hadoop.fs.FileSystem,
+      stagePath: org.apache.hadoop.fs.Path): Long =
+    try {
+      var p = fs.makeQualified(stagePath)
+      while (p != null && !fs.exists(p)) p = p.getParent
+      if (p == null) -1L else fs.getStatus(p).getRemaining
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** Stage-filesystem hygiene advisory (round 19, r18 verdict #4) —
     * PURE over the two qualified URIs: fires when the staged mode's
@@ -473,10 +579,17 @@ object Dedup {
     * retry action rides the `action`/`target` fields (round 19): each
     * rung is a SetConf of the next measured escape, except the last,
     * which is a SwitchOperator — dispatchable with zero prose parsing
-    * (pinned in KnobsSpec's generic-dispatch test). */
+    * (pinned in KnobsSpec's generic-dispatch test). Each rung goes
+    * SILENT once its escape is active (round 20, r19 ADVICE): the
+    * exact rung once `mhPrefixSlots > 0`, the zstd rung once the
+    * session codec is already zstd — tier-0+zstd is MEASURED clean
+    * through just under 20M docs, so the band between `tier0WarnDocs`
+    * and `stagedWarnDocs` has nothing further to recommend and a
+    * retry-until-silent dispatcher converges on every rung. */
   private[graft] def ngramShuffleWarning(nDocs: Long, mhPrefixSlots: Int,
       warnDocs: Long, tier0WarnDocs: Long = 8000000L,
-      stagedWarnDocs: Long = 16000000L): Option[graft.Advisory] =
+      stagedWarnDocs: Long = 16000000L,
+      zstd: Boolean = false): Option[graft.Advisory] =
     if (mhPrefixSlots == 0 && nDocs >= warnDocs)
       Some(graft.Advisory("dd_ngram_jaccard", "graft.ngram.mhPrefixSlots",
         cap = warnDocs, measured = nDocs, bound = -1L,
@@ -500,7 +613,7 @@ object Dedup {
         "pair set (oracle-gated).",
         action = graft.AdvisoryAction.SwitchOperator,
         target = "dd_ngram_staged"))
-    else if (mhPrefixSlots > 0 && nDocs >= tier0WarnDocs)
+    else if (mhPrefixSlots > 0 && nDocs >= tier0WarnDocs && !zstd)
       Some(graft.Advisory("dd_ngram_jaccard", "spark.io.compression.codec",
         cap = tier0WarnDocs, measured = nDocs, bound = -1L,
         s"dd_ngram_jaccard over $nDocs documents with tier-0 " +
@@ -1729,9 +1842,29 @@ object Dedup {
     * filter-count over the already-persisted round output — no second
     * join re-shuffling the label set (the standard Spark shape for
     * connected components, minus the usual per-round compare join). */
-  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+  def ddCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterFromPairs(ddNgramJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b"))
+
+  /** [[ddCluster]] with pair generation routed through the
+    * disk-bounded STAGED mode (round 20, r19 verdict #3): the
+    * propagation itself is pair-proportional (the pair set is the tiny
+    * fraction of the stream), so dd_cluster's scale wall IS the ngram
+    * single-plan wall — measured ENOSPC at 20M docs even under
+    * tier-0+zstd (§8.4.3g). This composition is the same
+    * SwitchOperator escape the ngram ladder's last rung names, applied
+    * to the component DAG: identical labels (the staged pair set is
+    * oracle-identical), per-job spill bounded at ~1/shards.
+    * Registered as `dd_cluster_staged` against the SAME DuckDB oracle
+    * as `dd_cluster`. Inherits [[ddNgramJaccardStaged]]'s eager
+    * execution and stageDir contract. */
+  def ddClusterStaged(spark: SparkSession, dir: String,
+      stageDir: String = "", shards: Int = -1): DataFrame =
+    clusterFromPairs(ddNgramJaccardStaged(spark, dir, stageDir, shards)
+      .select("doc_a", "doc_b"))
+
+  private def clusterFromPairs(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = ddNgramJaccardPairs(spark, dir).select("doc_a", "doc_b")
     // both edge directions from ONE pass over the pair subtree (a
     // union of two selects would recompute the whole dedup DAG twice)
     val edges = pairs.select(explode(array(
@@ -1885,6 +2018,10 @@ object Dedup {
     // disk-bounded staged mode, same pair set — gate-checked against
     // the SAME oracle as dd_ngram_jaccard (§8.4.3g)
     "dd_ngram_staged"  -> ((s: SparkSession, d: String) => ddNgramJaccardStaged(s, d)),
+    // the staged composition for components — same oracle as dd_cluster
+    // (§8.4.3g's escape applied to the family whose wall IS pair
+    // generation; round 20)
+    "dd_cluster_staged" -> ((s: SparkSession, d: String) => ddClusterStaged(s, d)),
     "dd_minhash_lsh"   -> ddMinhashLsh _,
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cosine"  -> ddEmbedCosine _,
@@ -1903,6 +2040,14 @@ object Dedup {
       ((s: SparkSession, d: String) => ddEmbedCosine(s, d, exactMax = -1L)),
   )
 
+  /** Registered queries whose EAGER staged execution makes them
+    * by-design heavier than their single-plan twins — the bench
+    * derives its round-comparable `total_shared` exclusion list from
+    * this tag (round 20, r19 verdict #5: the set was a literal in
+    * Bench.scala that a future heavy query could silently miss;
+    * KnobsSpec pins that every tag names a registered query). */
+  val benchHeavy: Set[String] = Set("dd_ngram_staged", "dd_cluster_staged")
+
   private val ngramOracleSql: String =
     """WITH t AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -1919,6 +2064,33 @@ object Dedup {
       |  round(shared/(na+nb-shared), 4) AS jaccard
       |FROM p WHERE round(shared/(na+nb-shared), 4) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The dd_cluster DuckDB oracle — shared by the staged
+    * composition (identical labels by construction). */
+  private val clusterOracleSql: String =
+    """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
+        |        FROM documents)),
+        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |        any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE round(shared/(na+nb-shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node)
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_decontaminate" ->
@@ -1955,30 +2127,9 @@ object Dedup {
     // Connected components over the exact-Jaccard pair graph: the
     // recursive CTE reaches every node from every component member, so
     // min(reached) is the component minimum.
-    "dd_cluster" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(tk)-2, 1)),
-        |    i -> array_to_string(tk[i:i+2],' '))) AS shs
-        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk
-        |        FROM documents)),
-        |s AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM t),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
-        |        any_value(a.n) AS na, any_value(b.n) AS nb
-        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM p
-        |          WHERE round(shared/(na+nb-shared), 4) >= 0.5),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT a AS node, a AS r FROM edges
-        |  UNION
-        |  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-        |lab AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node)
-        |SELECT doc_id, cluster,
-        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
-        |FROM lab ORDER BY doc_id""".stripMargin,
+    "dd_cluster" -> clusterOracleSql,
+    // the staged composition must produce identical labels — same oracle
+    "dd_cluster_staged" -> clusterOracleSql,
     // LSH verifies candidates with the exact Jaccard, so its output is
     // the exact pair set (see ddMinhashLsh scaladoc) — same oracle.
     "dd_minhash_lsh" ->

@@ -66,16 +66,22 @@ class FunctionsSpec extends AnyFunSuite {
     val stage = "target/test-ngram-staged-hygiene"
     val fs = new Path(stage)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage), true)
     val frame = Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
       shards = 2)
     assert(frame.count() > 0)
     // r18 verdict #3: only pairs/ (+ the ownership marker) survives the
     // invocation — joinable/ and prefix/ are ~2/3 of the staged
-    // footprint and the mode exists BECAUSE disk is the constraint
+    // footprint and the mode exists BECAUSE disk is the constraint.
+    // Since round 20 each invocation owns a run-NNNNNN/ subdir.
     val entries = fs.listStatus(new Path(stage)).map(_.getPath.getName).toSet
-    assert(entries == Set("pairs", "_graft_stage"),
-      s"only pairs/ and the marker may outlive the invocation: $entries")
-    // a later invocation on the marked dir is allowed to reclaim it
+    assert(entries == Set("run-000001", "_graft_stage"),
+      s"only the run dir and the marker may sit at the top level: $entries")
+    val runEntries = fs.listStatus(new Path(stage, "run-000001"))
+      .map(_.getPath.getName).toSet
+    assert(runEntries == Set("pairs"),
+      s"only pairs/ may outlive the invocation inside its run dir: $runEntries")
+    // a later invocation on the marked dir is allowed to write there
     assert(Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
       shards = 1).count() > 0)
     // a non-empty UNMARKED dir is refused, not destroyed (r18 ADVICE:
@@ -90,6 +96,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refusing to clear"), e.getMessage)
     assert(fs.exists(new Path(foreign, "precious.parquet")),
       "the foreign dir's contents must be untouched")
+    // pre-marker r18 residue (all three flat stage dirs, joinable
+    // present) is grandfathered: cleared and re-staged, not refused
+    val legacy = "target/test-ngram-staged-legacy"
+    fs.delete(new Path(legacy), true)
+    Seq("joinable", "prefix", "pairs").foreach(d =>
+      fs.mkdirs(new Path(legacy, d)))
+    assert(Dedup.ddNgramJaccardStaged(spark, sf, stageDir = legacy,
+      shards = 1).count() > 0)
+    assert(!fs.exists(new Path(legacy, "joinable")),
+      "legacy flat-layout residue must be reclaimed at entry")
+    assert(fs.exists(new Path(legacy, "run-000001/pairs")))
+  }
+
+  test("per-run staging keeps the previous invocation's frame alive (r19 verdict #4)") {
+    import org.apache.hadoop.fs.Path
+    val stage = "target/test-ngram-staged-runs"
+    val fs = new Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage), true)
+    val first = Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
+      shards = 2)
+    val n1 = first.count()
+    assert(n1 > 0)
+    val second = Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
+      shards = 1)
+    // the r19 ADVICE foot-gun: this collect used to read files the
+    // second invocation had already deleted
+    assert(first.count() == n1,
+      "a returned frame must survive the NEXT invocation on the same dir")
+    assert(second.count() == n1)
+    // disk bound: at most two runs coexist — entry of run 3 reclaims
+    // run 1 (the one whose handle is now two invocations stale)
+    assert(fs.exists(new Path(stage, "run-000001")))
+    val third = Dedup.ddNgramJaccardStaged(spark, sf, stageDir = stage,
+      shards = 1)
+    assert(!fs.exists(new Path(stage, "run-000001")),
+      "entry of run N must reclaim runs older than N-1")
+    assert(fs.exists(new Path(stage, "run-000002")))
+    assert(third.count() == n1)
+  }
+
+  test("staged cluster composition produces identical components") {
+    // round 20 (r19 verdict #3): dd_cluster's scale wall is pair
+    // generation — the staged composition must be label-identical
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = key(Dedup.ddCluster(spark, sf))
+    assert(exact.nonEmpty, "corpus should contain near-dup clusters")
+    val staged = key(Dedup.ddClusterStaged(spark, sf,
+      stageDir = "target/test-cluster-staged"))
+    assert(staged == exact,
+      s"missing ${exact -- staged}, extra ${staged -- exact}")
   }
 
   test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {

@@ -246,6 +246,18 @@ class KnobsSpec extends AnyFunSuite {
     assert(Dedup.ngramShuffleWarning(15999999L, 16, 4000000L, 8000000L)
       .exists(_.action == AdvisoryAction.SetConf),
       "below the staged threshold the zstd rung must keep firing")
+    // round 20 (r19 ADVICE): the zstd rung goes SILENT once the codec
+    // is already zstd — tier-0+zstd is measured clean through just
+    // under 20M docs, so a retry-until-silent dispatcher converges
+    // (previously it got the identical SetConf again forever)
+    assert(Dedup.ngramShuffleWarning(10000000L, 16, 4000000L, 8000000L,
+      16000000L, zstd = true).isEmpty,
+      "the zstd rung must not re-recommend an already-active codec")
+    // …while the staged rung still fires regardless of codec (past
+    // 16M the plan shape, not the codec, is the problem)
+    assert(Dedup.ngramShuffleWarning(20000000L, 16, 4000000L, 8000000L,
+      16000000L, zstd = true)
+      .exists(_.action == AdvisoryAction.SwitchOperator))
     // the exact rung's action: SetConf of the tier-0 escape
     assert(Dedup.ngramShuffleWarning(5000000L, 0, 4000000L)
       .exists(a => a.action == AdvisoryAction.SetConf &&
@@ -1114,6 +1126,117 @@ class KnobsSpec extends AnyFunSuite {
     assert(Dedup.ngramStageShards(Dedup.ngramSinglePlanSpillBytes(
       40000000L, tier0 = true, zstd = true), 18000000000L) == 8)
     intercept[IllegalArgumentException](Dedup.ngramStageShards(1L, 0L))
+  }
+
+  test("stage spill budget: conf wins, probed fraction, calibrated fallback (pure)") {
+    // round 20 (r19 verdict #2): the 18 GB literal was calibrated to
+    // this box — the default is now 25% of the PROBED stage-FS free
+    // space, with the conf as override and the literal as fallback
+    assert(Dedup.stageSpillBudget(Some(5000000000L), 80000000000L) ==
+      (5000000000L, "conf"))
+    assert(Dedup.stageSpillBudget(None, 80000000000L) ==
+      (20000000000L, "probed"))
+    // this box's shape: 72 GB free → 18 GB probed budget reproduces
+    // the calibrated 20M-doc receipt's k = 4 exactly
+    assert(Dedup.stageSpillBudget(None, 72000000000L) ==
+      (18000000000L, "probed"))
+    assert(Dedup.ngramStageShards(72000000000L,
+      Dedup.stageSpillBudget(None, 72000000000L)._1) == 4)
+    // a nearly-full disk degrades to many small shards via the 1 GB
+    // floor, not to a degenerate budget
+    assert(Dedup.stageSpillBudget(None, 1000000L) ==
+      (1000000000L, "probed"))
+    // unusable probes (filesystem can't say / Long.MaxValue sentinel
+    // from a generic Hadoop FS) fall back to the calibrated literal
+    assert(Dedup.stageSpillBudget(None, -1L) ==
+      (18000000000L, "fallback"))
+    assert(Dedup.stageSpillBudget(None, Long.MaxValue) ==
+      (18000000000L, "fallback"))
+    intercept[IllegalArgumentException](
+      Dedup.stageSpillBudget(Some(0L), 1L))
+  }
+
+  test("staged auto-sizing records its budget decision; an explicit conf is silent") {
+    // the auto path must be auditable: one Observe record quoting
+    // probed-free vs chosen budget and the source that won
+    val stage = "target/test-ngram-staged-budget"
+    Graft.clearAdvisories(spark)
+    functions.Dedup.ddNgramJaccardStaged(spark, sf,
+      stageDir = stage).count()
+    def budgetRecs = Graft.advisoryRecords(spark).filter(a =>
+      a.op == "dd_ngram_staged" &&
+        a.knob == "graft.ngram.stageSpillBudgetBytes")
+    val auto = budgetRecs
+    assert(auto.size == 1, auto.toString)
+    // this box has a working local-FS probe: source must be "probed",
+    // the chosen budget 25% of the probed free bytes (floored), and
+    // the record's bound the predicted spill the sizing divided
+    assert(auto.head.action == AdvisoryAction.Observe, auto.toString)
+    assert(auto.head.target == "probed", auto.toString)
+    assert(auto.head.measured > 0 &&
+      auto.head.cap == math.max(1000000000L,
+        (auto.head.measured * 0.25).toLong), auto.toString)
+    assert(auto.head.bound >= 0, auto.toString)
+    // an explicit budget conf is the user's own choice — silent, and
+    // it must drive the sizing: pick a budget that makes the corpus's
+    // predicted spill auto-size to a small k > 1 (not a magic shard
+    // count — the same arithmetic the operator runs)
+    val nDocs = spark.read
+      .parquet(s"$sf/documents.parquet").count()
+    val spill = Dedup.ngramSinglePlanSpillBytes(nDocs,
+      tier0 = false, zstd = false)
+    val budget = (spill + 1L) / 2L  // → k = 2
+    val expectedK = Dedup.ngramStageShards(spill, budget)
+    assert(expectedK == 2, s"test premise: $spill / $budget")
+    withConf("graft.ngram.stageSpillBudgetBytes" -> budget.toString) {
+      Graft.clearAdvisories(spark)
+      functions.Dedup.ddNgramJaccardStaged(spark, sf,
+        stageDir = stage).count()
+      assert(budgetRecs.isEmpty,
+        "conf-set budget must not fire the Observe record")
+      val caps = Graft.advisoryRecords(spark)
+        .filter(_.knob.startsWith("stage:")).map(_.cap)
+      assert(caps.nonEmpty && caps.forall(_ == expectedK.toLong),
+        s"the conf budget must drive the sizing: $caps vs $expectedK")
+    }
+    Graft.clearAdvisories(spark)
+  }
+
+  test("advisoriesDf exposes the ledger to SQL tooling (staged stage profile)") {
+    // round 20 (r19 verdict #6): the typed ledger was Scala-only —
+    // advisoriesDf is the queryable surface, so a staged run's three
+    // stage records read as a stage profile with one SQL predicate
+    Graft.clearAdvisories(spark)
+    functions.Dedup.ddNgramJaccardStaged(spark, sf,
+      stageDir = "target/test-ngram-staged-df").count()
+    val df = Graft.advisoriesDf(spark)
+    assert(df.columns.toSeq == Seq("op", "knob", "cap", "measured",
+      "bound", "message", "action", "target"))
+    val stages = df
+      .where("op = 'dd_ngram_staged' AND knob LIKE 'stage:%'")
+      .select("knob", "action", "measured").collect()
+    assert(stages.map(_.getString(0)).toSeq ==
+      Seq("stage:joinable", "stage:prefix", "stage:pairs"),
+      stages.mkString(","))
+    assert(stages.forall(_.getString(1) == "Observe"),
+      "action must render as the case-object name")
+    // the budget decision rides the same surface
+    assert(df.where(
+      "knob = 'graft.ngram.stageSpillBudgetBytes'").count() == 1)
+    // snapshot semantics: clearing the ledger doesn't retro-empty an
+    // already-materialized read, but a fresh call reflects it
+    Graft.clearAdvisories(spark)
+    assert(Graft.advisoriesDf(spark).count() == 0)
+  }
+
+  test("bench exclusion tags are registry-derived and name real queries") {
+    // round 20 (r19 verdict #5): Bench derives shared_excludes from
+    // the benchHeavy tag — every tag must name a registered query, and
+    // the staged operators are exactly the tagged set
+    assert(SparkEntry.benchHeavy.subsetOf(SparkEntry.queries.keySet),
+      (SparkEntry.benchHeavy -- SparkEntry.queries.keySet).toString)
+    assert(SparkEntry.benchHeavy ==
+      Set("dd_ngram_staged", "dd_cluster_staged"))
   }
 
   test("staged mode appends one typed Observe record per stage, shards auto-sized") {

@@ -83,6 +83,11 @@ import json, sys
 d = json.load(open(sys.argv[1]))
 assert isinstance(d.get("total_shared"), (int, float)), "bench contract line must carry total_shared"
 assert 0 < d["total_shared"] <= d["value"], (d["total_shared"], d["value"])
+# r20 (r19 ADVICE): total_shared must sum the FULL shared query set —
+# a failed shared query would silently shrink the subtotal and read as
+# a performance move in the round-over-round drift comparison
+assert d.get("shared_count") == d.get("shared_expected") != None, \
+    (d.get("shared_count"), d.get("shared_expected"), d.get("failed"))
 PY
 }
 
