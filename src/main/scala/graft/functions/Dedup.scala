@@ -503,13 +503,26 @@ object Dedup {
 
   /** Free bytes on the stage filesystem, probed at the deepest
     * EXISTING ancestor of the stage path (the stage dir itself may not
-    * exist yet on a first run); -1 when the filesystem cannot say. */
+    * exist yet on a first run); -1 when the filesystem cannot say.
+    *
+    * Local filesystems probe via `File.getUsableSpace` (statvfs
+    * f_bavail — the bytes a write can actually consume), NOT Hadoop's
+    * `getStatus().getRemaining`, which maps to f_bfree and on
+    * reserved/thin-provisioned volumes reports free space that does
+    * not exist for writers. MEASURED the hard way on this box's first
+    * 40M-doc attempt: f_bfree said 227 GB where df's Avail (f_bavail)
+    * said 69 GB — the 3× over-report sized k = 3 instead of 8 and the
+    * run ENOSPCed mid-stage, the exact failure the budget exists to
+    * prevent (§8.4.3h, round 20). */
   private[graft] def probeStageFree(fs: org.apache.hadoop.fs.FileSystem,
       stagePath: org.apache.hadoop.fs.Path): Long =
     try {
       var p = fs.makeQualified(stagePath)
       while (p != null && !fs.exists(p)) p = p.getParent
-      if (p == null) -1L else fs.getStatus(p).getRemaining
+      if (p == null) -1L
+      else if (Option(p.toUri.getScheme).forall(_ == "file"))
+        new java.io.File(p.toUri.getPath).getUsableSpace
+      else fs.getStatus(p).getRemaining
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** Stage-filesystem hygiene advisory (round 19, r18 verdict #4) —

@@ -1154,6 +1154,18 @@ class KnobsSpec extends AnyFunSuite {
       (18000000000L, "fallback"))
     intercept[IllegalArgumentException](
       Dedup.stageSpillBudget(Some(0L), 1L))
+    // the local probe must report WRITABLE bytes (statvfs f_bavail,
+    // File.getUsableSpace) — Hadoop getStatus maps to f_bfree, which
+    // this box's thin-provisioned volume over-reports 3× (the first
+    // 40M-doc attempt sized k = 3 instead of 8 off it and ENOSPCed)
+    import org.apache.hadoop.fs.Path
+    val p = new Path("target")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probed = Dedup.probeStageFree(fs, new Path("target/knobs-nonexistent-stage"))
+    val usable = new java.io.File("target").getUsableSpace
+    assert(probed > 0, s"local probe must work: $probed")
+    assert(math.abs(probed - usable) <= usable / 4,
+      s"probe must track f_bavail (usable=$usable), got $probed")
   }
 
   test("staged auto-sizing records its budget decision; an explicit conf is silent") {
