@@ -457,12 +457,22 @@ object Similarity {
     val ivf = ssIvfTopK(spark, dir, nprobe, nVecs = nVecs)
       .select(col("q_id"), col("cand_id"))
     val exact = ssCosineTopK(spark, dir).select(col("q_id"), col("cand_id"))
-    val nEx = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
-    val ov = ivf.join(exact, Seq("q_id", "cand_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
-    val perQ = nEx.join(ov, Seq("q_id"), "left")
-      .select(col("q_id"), col("n_exact"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    // n_exact and n_overlap from ONE pass over the exact top-k
+    // (round 21): left-join the ivf hits onto the exact rows and count
+    // rows vs non-null hits in a single aggregate. The previous
+    // two-aggregate + join-back shape ran the ENTIRE exact brute-force
+    // pipeline twice (nEx and ov branches — their differing pruning
+    // defeats reuse) and planned the tiny overlap joins as
+    // sort-merge; both sides are ≤ k·|queries| rows by construction,
+    // so the ivf side is broadcast. A left join against the UNIQUE
+    // ivf (q_id, cand_id) key cannot duplicate exact rows, and a
+    // query with zero overlap counts 0 non-null hits — identical to
+    // the old coalesce(n_overlap, 0).
+    val perQ = exact
+      .join(broadcast(ivf.withColumn("hit", lit(1))),
+        Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_overlap"))
     // The aggregate hides the tail: §8.4.6's own measurement has a
     // per-query recall of 0.6 while the aggregate holds 0.86+, so the
     // dump carries the DISTRIBUTION too — min and p10 of per-query

@@ -145,43 +145,52 @@ object TextAnalysis {
     val queryTerms = Seq("spark", "query", "data")
     val k1 = 1.2
     val b = 0.75
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-    // ONE scan+shuffle computes doc length AND per-query-term counts;
-    // corpus constants ride along as a broadcast 1-row aggregate — no
-    // driver collect, single declarative DAG.
-    val tfCols = queryTerms.map(qt =>
-      sum(when(col("term") === qt, 1L).otherwise(0L)).as(s"tf_$qt"))
-    val perDoc = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("dl"), tfCols: _*)
-    val stackExpr = s"stack(${queryTerms.size}, " +
-      queryTerms.map(qt => s"'$qt', tf_$qt").mkString(", ") + ") AS (term, tf)"
-    val tf = perDoc.select(col("doc_id"), col("dl"), expr(stackExpr))
-      .where(col("tf") > 0)
-    // ONE auxiliary broadcast row carries the corpus constants AND the
-    // per-term dfs (df_qt = docs with tf_qt > 0 — identical to counting
-    // the filtered stack rows per term), collapsing the previous
-    // three-branch shape (tf rows, consts, per-term df — one full token
-    // explode + aggregate pass EACH, since their differing column
-    // pruning defeats exchange reuse) to two corpus passes. Exact long
-    // sums / long counts → bit-identical doubles in any engine.
+    // Per-doc term frequencies of the FIXED query-term set as array
+    // expressions on the scan — the token stream never exists as rows
+    // (round 21): tf_qt = |filter(toks, = qt)|, dl = |toks|. The
+    // previous shape exploded the corpus into a token stream and
+    // hash-aggregated it back per doc TWICE — once for the tf branch,
+    // once for the aux constants, whose differing column pruning
+    // defeats exchange reuse — so two full explode+shuffle passes paid
+    // for what a projection computes in zero. Null texts are excluded
+    // explicitly (the explode dropped them implicitly: no tokens → no
+    // rows); empty text still tokenizes to [""] in both shapes.
+    val toks = tokens(lower(col("text")))
+    def tfOf(qt: String): Column = size(filter(toks, _ === lit(qt))).cast("long")
+    val perDoc = t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        queryTerms.map(qt => tfOf(qt).as(s"tf_$qt")): _*)
+    // The 1-row corpus-constants aggregate (sumdl, ndocs, per-term df)
+    // now rides a SCAN-LEVEL map-side aggregate of the same projection
+    // — one extra parquet read but no explode and no doc-keyed shuffle
+    // (its exchange carries exactly one row of partial aggregates).
     val aux = perDoc.agg(sum(col("dl")).as("sumdl"),
       (count(col("doc_id")).as("ndocs") +: queryTerms.map(qt =>
         sum(when(col(s"tf_$qt") > 0, 1L).otherwise(0L)).as(s"df_$qt"))): _*)
-    val dfCase = queryTerms.tail.foldLeft(
-      when(col("term") === queryTerms.head, col(s"df_${queryTerms.head}"))) {
-      (acc, qt) => acc.when(col("term") === qt, col(s"df_$qt"))
-    }
     val avgdl = col("sumdl").cast("double") / col("ndocs")
-    val idf = log((col("ndocs").cast("double") - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5)) + lit(1.0))
-    val score = idf * (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    tf.crossJoin(broadcast(aux))
-      .withColumn("df", dfCase)
-      .groupBy("doc_id")
-      .agg(round(sum(score) * 1e6).cast("long").as("bm25_micro"),
-        count(lit(1)).as("n_matched_terms"))
+    def idfOf(qt: String): Column =
+      log((col("ndocs").cast("double") - col(s"df_$qt") + lit(0.5)) /
+        (col(s"df_$qt") + lit(0.5)) + lit(1.0))
+    // Per-term BM25 contribution, summed in the fixed queryTerms order —
+    // the same float-addition order the previous stack+sum produced
+    // (stack emitted the terms in list order into one partial-agg task,
+    // and x + 0.0 is bit-exact for the finite positive scores), so
+    // bm25_micro is bit-identical to the exploded shape's.
+    def scoreOf(qt: String): Column =
+      when(col(s"tf_$qt") > 0,
+        idfOf(qt) * (col(s"tf_$qt") * lit(k1 + 1)) /
+          (col(s"tf_$qt") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    val total = queryTerms.map(scoreOf).reduce(_ + _)
+    val nMatched = queryTerms.map(qt =>
+      when(col(s"tf_$qt") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(aux))
+      .where(queryTerms.map(qt => col(s"tf_$qt") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(total * 1e6).cast("long").as("bm25_micro"),
+        nMatched.as("n_matched_terms"))
       .orderBy("doc_id")
   }
 
@@ -301,7 +310,18 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val stats = toks.groupBy("tok")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("ddf"))
-    val total = stats.agg(sum(col("tf")).as("total_tf"))
+    // total_tf = total token INSTANCES = Σ per-doc token counts: a
+    // scan-level map-side aggregate (round 21). Deriving it from
+    // `stats` re-ran the whole explode + two-level vocabulary
+    // aggregate a second time (the branch's column pruning defeats
+    // exchange reuse), just to sum tf — the corpus's most expensive
+    // pass, duplicated for one long. Null texts contribute 0 (the
+    // explode emitted no rows for them; size(null) is -1, hence the
+    // guard); empty text tokenizes to [""] — 1 instance — in both.
+    val total = t(spark, dir, "documents")
+      .select(when(col("text").isNotNull, size(tokens(col("text"))))
+        .otherwise(0).cast("long").as("n"))
+      .agg(sum(col("n")).as("total_tf"))
     val top = stats.orderBy(col("tf").desc, col("tok")).limit(k)
     val w = Window.orderBy(col("tf").desc, col("tok"))
     top.crossJoin(broadcast(total))
@@ -354,8 +374,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("total_toks"),
         sum(col("n_chars")).as("total_chars"))
-    val total = bySrc.agg(sum(col("n_docs")).as("corpus_docs"))
-    bySrc.crossJoin(broadcast(total))
+    // corpus_docs = Σ n_docs over the GROUPED rows — a global window
+    // over the corpus card itself (round 21): bounded by the
+    // (source, lang) group count by construction, never corpus-sized,
+    // so the single-partition window is free — while the previous
+    // bySrc.agg branch re-scanned and re-aggregated the whole corpus
+    // (its pruning defeats exchange reuse) to count what the card
+    // already holds.
+    bySrc
+      .withColumn("corpus_docs",
+        sum(col("n_docs")).over(Window.partitionBy()))
       .withColumn("doc_share_bp", expr("(10000 * n_docs) div corpus_docs"))
       .select("source", "lang", "n_docs", "total_toks", "total_chars",
         "doc_share_bp")

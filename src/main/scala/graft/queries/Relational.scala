@@ -44,6 +44,17 @@ object Relational {
     val c  = t(spark, dir, "customer")
     val n  = t(spark, dir, "nation")
     val r  = t(spark, dir, "region")
+    // Join order MEASURED, kept (round 21): the filter-early rewrite
+    // (region-filtered customer → orders → lineitem, one lineitem-sized
+    // shuffle instead of two at cluster scale) was implemented and
+    // interleave-A/B'd at sf0.1 — it measured ×1.15-1.25 SLOWER on the
+    // bench board, because the mid-plan broadcast of the filtered
+    // orders join adds two sequential stage waves (build → collect →
+    // re-broadcast) where this shape probes four statically-built
+    // dimension broadcasts in ONE pipelined pass over lineitem. The
+    // trade flips on a real cluster (where orders no longer
+    // broadcasts and the saved lineitem-sized exchange dominates);
+    // plans/r21 and OPTIMIZATION_r21.md carry both shapes' evidence.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -60,6 +71,14 @@ object Relational {
     val li = t(spark, dir, "lineitem")
     val o  = t(spark, dir, "orders")
     val c  = t(spark, dir, "customer")
+    // Join order MEASURED, kept (round 21, same verdict as q2): the
+    // filter-early rewrite (BUILDING-filtered orders⋈customer before
+    // lineitem) A/B'd ×1.2-1.3 slower at sf0.1 — the mid-plan
+    // broadcast materialization of the filtered orders costs more
+    // than the pipelined two-probe pass saves on this board; the
+    // rewrite's saved lineitem-sized exchange only pays off where the
+    // dimension side is too big to broadcast. Evidence in
+    // OPTIMIZATION_r21.md.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .where(col("c_mktsegment") === "BUILDING")
@@ -108,13 +127,30 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Set operations: nations having customers INTERSECT nations having
-    * suppliers, plus EXCEPT in the other direction, tagged. */
+    * suppliers, plus EXCEPT in the other direction, tagged.
+    *
+    * Computed as ONE pass (round 21): tag each side, union, and take
+    * per-key presence flags in a single aggregate — `INTERSECT` ≡ both
+    * flags, `EXCEPT` ≡ customer-only. The literal intersect/except
+    * formulation planned each set operator as its own
+    * distinct-aggregate + join and scanned BOTH tables twice (4 scans,
+    * 4 hash exchanges + 2 broadcasts); this shape scans each table
+    * once and shuffles (nationkey, flag) once with map-side partial
+    * aggregation — the set-op result is identical, including SQL set
+    * semantics for NULL keys (grouping treats NULLs as one key, the
+    * same null-safe equality intersect/except use). */
   def q8SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val cn = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
-    val sn = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
-    val both = cn.intersect(sn).withColumn("tag", lit("both"))
-    val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
-    both.union(custOnly).orderBy("tag", "nationkey")
+    val cn = t(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit(true).as("is_cust"))
+    val sn = t(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit(false).as("is_cust"))
+    cn.union(sn)
+      .groupBy("nationkey")
+      .agg(max(col("is_cust")).as("has_cust"), max(!col("is_cust")).as("has_supp"))
+      .where(col("has_cust"))
+      .select(col("nationkey"),
+        when(col("has_supp"), "both").otherwise("customer_only").as("tag"))
+      .orderBy("tag", "nationkey")
   }
 
   /** Anti join: customers with no recent orders, counted per nation. */

@@ -44,9 +44,11 @@ class PlanSpec extends AnyFunSuite {
     // (the WindowExec "No Partition Defined" warning) — fatal at scale
     // on an unbounded stream. Registry-wide guard with an explicit
     // allowlist: ta_vocab's global rank runs on the ≤ k rows surviving
-    // the TakeOrdered cut (pinned separately), which is the only
-    // acceptable shape. A future registration with a global window on
-    // raw data fails here.
+    // the TakeOrdered cut (pinned separately), and ta_report's
+    // corpus_docs sum runs on the grouped corpus card — bounded by the
+    // (source, lang) group count by construction (round 21: it
+    // replaced a second full corpus scan + aggregate). A future
+    // registration with a global window on raw data fails here.
     // detection traverses the PHYSICAL plan for window nodes with an
     // empty partitionSpec rather than regex-matching the formatted
     // string: the old `windowspecdefinition(<attr> ASC…` pattern
@@ -55,7 +57,7 @@ class PlanSpec extends AnyFunSuite {
     // knownfloatingpointnormalized(...)) slipped past exactly the
     // guard built to catch it
     import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
-    val bounded = Set("ta_vocab", "ta_vocab_k10")
+    val bounded = Set("ta_vocab", "ta_vocab_k10", "ta_report")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !bounded(name) &&
           fn(spark, sf).queryExecution.sparkPlan.collect {
@@ -164,6 +166,26 @@ class PlanSpec extends AnyFunSuite {
     // the registration-facing dd_ngram_jaccard only
     val plan = planOf(graft.functions.Dedup.ddNgramJaccardPairs(spark, sf))
     assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("ta_report's global share window consumes the grouped corpus card") {
+    // round 21: corpus_docs moved from a second full corpus
+    // scan+aggregate to an unpartitioned window over the (source, lang)
+    // card. The allowlist in the global-window guard admits it because
+    // the input is provably bounded — this pin makes the boundedness
+    // itself structural: every empty-partitionSpec window in ta_report
+    // must read an aggregate, never a raw scan.
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val wins = graft.functions.TextAnalysis.taReport(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: WindowExecBase if w.partitionSpec.isEmpty => w
+      }
+    assert(wins.nonEmpty, "expected the global corpus_docs window")
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, "global window must consume the grouped card, not a scan")
+    }
   }
 
   test("ta_pack's cumulative window partitions by (source, shard), not source alone") {
