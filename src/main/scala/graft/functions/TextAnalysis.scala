@@ -154,7 +154,11 @@ object TextAnalysis {
     // defeats exchange reuse — so two full explode+shuffle passes paid
     // for what a projection computes in zero. Null texts are excluded
     // explicitly (the explode dropped them implicitly: no tokens → no
-    // rows); empty text still tokenizes to [""] in both shapes.
+    // rows); empty text still tokenizes to [""] in both shapes. The
+    // per-row form coincides with the old per-doc_id grouping under
+    // the corpus key contract (doc_id unique and non-null — verified
+    // at every driver SF, and the same assumption every per-doc ta_*
+    // projection already rides).
     val toks = tokens(lower(col("text")))
     def tfOf(qt: String): Column = size(filter(toks, _ === lit(qt))).cast("long")
     val perDoc = t(spark, dir, "documents")
