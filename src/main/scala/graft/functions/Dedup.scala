@@ -204,7 +204,7 @@ object Dedup {
     *      by pmod(sh, shards) — df is per-`sh`, so the shard-local
     *      window df is the global df;
     *   2. `prefix` (rarest-first PPJoin prefix) → parquet, sharded by
-    *      pmod(doc_id, shards) — rk/m are per-doc;
+    *      pmod(doc_id, shards) — rrk is per-doc;
     *   3. per sh-shard: the pair self-join restricted to that shard's
     *      join keys, then the SAME two-tier [[exactVerify]] (with the
     *      session's tier-0 knobs) → parquet append. The union over
@@ -729,16 +729,31 @@ object Dedup {
     s.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df").between(2, cap))
 
-  /** Rarest-first PPJoin prefix (sh, doc_id, n, rk, m). Shards cleanly
-    * by doc_id — rk/m are per-doc ranks over the doc's own joinable
-    * shingles, so a doc-sharded window computes the same values. */
+  /** Rarest-first PPJoin prefix (sh, doc_id, n, rrk). Shards cleanly
+    * by doc_id — rrk is a per-doc rank over the doc's own joinable
+    * shingles, so a doc-sharded window computes the same values.
+    *
+    * ONE window function, not two (round 22): the original formulation
+    * carried the forward rarest-first rank rk (row_number asc) AND the
+    * per-doc joinable count m (a second, whole-partition-buffering
+    * window pass) only to use them as the suffix length m − rk. The
+    * REVERSE rank rrk = row_number over (df desc, sh desc) = m − rk + 1
+    * expresses both the prefix cut and the join's positional bound
+    * directly: rk ≤ m − ⌈n/2⌉ + 1 ⇔ rrk ≥ ⌈n/2⌉, and
+    * 1 + min(m − rk) = min(rrk). Same total order (ties only on 64-bit
+    * hash collisions, identical to the old orderBy), so the kept set is
+    * identical — and the exact verify makes even a collision-tie
+    * reshuffle output-invariant. The plan loses one Window node per
+    * join side (the count pass buffered every partition) and the prefix
+    * row narrows by the dropped m column through the pair-join
+    * exchange and the staged prefix parquet. */
   private def ngramPrefix(joinable: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
     joinable
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-      .withColumn("m", count(lit(1)).over(byDoc))
-      .where(col("rk") <= col("m") - ceil(col("n") / lit(2.0)) + 1)
-      .select("sh", "doc_id", "n", "rk", "m")
+      .withColumn("rrk", row_number().over(
+        byDoc.orderBy(col("df").desc, col("sh").desc)))
+      .where(col("rrk") >= ceil(col("n") / lit(2.0)))
+      .select("sh", "doc_id", "n", "rrk")
   }
 
   /** The prefix self-join → distinct candidate pairs. Shards cleanly by
@@ -760,7 +775,8 @@ object Dedup {
     prefix.alias("a").join(prefix.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) * 2 >= greatest(col("a.n"), col("b.n")) &&
-        lit(1) + least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk")) >=
+        // 1 + min(suffix) with the reverse rank: m − rk + 1 = rrk
+        least(col("a.rrk"), col("b.rrk")) >=
           ceil((col("a.n") + col("b.n")) / lit(3.0)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
